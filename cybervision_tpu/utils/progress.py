@@ -1,0 +1,99 @@
+"""Progress reporting and phase timing.
+
+The reference gives every module its own ProgressListener trait reporting
+normalized [0,1] progress into an indicatif bar (reconstruction.rs:840-905)
+and prints per-phase wall-clock lines like "Completed X in N seconds"
+(reconstruction.rs:316-318 et al.).  This module reproduces both: a minimal
+terminal progress bar and a context-manager phase timer with the same
+stdout phrasing so runs are drop-in comparable.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Protocol
+
+
+class ProgressListener(Protocol):
+    def report_status(self, pos: float) -> None: ...
+
+
+class NullProgress:
+    def report_status(self, pos: float) -> None:
+        pass
+
+    def report_matches(self, count: int) -> None:
+        pass
+
+    def finish(self) -> None:
+        pass
+
+
+class ProgressBar:
+    """Terminal progress bar: 40-char bar + percent, like the reference's
+    indicatif template (reconstruction.rs:840-853)."""
+
+    def __init__(self, show_message: bool = False, stream=None):
+        self._stream = stream if stream is not None else sys.stderr
+        self._show_message = show_message
+        self._message = ""
+        self._last_render = 0.0
+        self._enabled = hasattr(self._stream, "isatty") and self._stream.isatty()
+
+    def report_status(self, pos: float) -> None:
+        if not self._enabled:
+            return
+        now = time.monotonic()
+        if now - self._last_render < 0.1:
+            return
+        self._last_render = now
+        pos = min(max(pos, 0.0), 1.0)
+        filled = int(pos * 40)
+        bar = "█" * filled + "░" * (40 - filled)
+        msg = self._message if self._show_message else ""
+        self._stream.write(f"\r{bar} {pos * 100.0:.2f}%{msg}")
+        self._stream.flush()
+
+    def report_matches(self, count: int) -> None:
+        if count > 0:
+            self._message = f", {count} matches"
+
+    def finish(self) -> None:
+        if self._enabled:
+            self._stream.write("\r" + " " * 60 + "\r")
+            self._stream.flush()
+
+
+class ScaledProgress:
+    """Rescales a sub-phase's [0,1] progress into a band of the parent bar,
+    weighting pyramid levels by scale^2 (reference: reconstruction.rs:866-893)."""
+
+    def __init__(self, parent, complete: float, total: float, scale: float):
+        self._parent = parent
+        self._complete = complete
+        self._total = total
+        self._scale = scale
+
+    def report_status(self, pos: float) -> None:
+        value = self._complete + pos * self._scale * self._scale / self._total
+        self._parent.report_status(value)
+
+
+class PhaseTimer:
+    """Context manager printing 'Completed <phase> in N seconds'."""
+
+    def __init__(self, phrase: str, quiet: bool = False):
+        self._phrase = phrase
+        self._quiet = quiet
+        self.elapsed = 0.0
+
+    def __enter__(self):
+        self._start = time.monotonic()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self.elapsed = time.monotonic() - self._start
+        if exc_type is None and not self._quiet:
+            print(f"{self._phrase} in {self.elapsed:.3f} seconds")
+        return False
