@@ -1,0 +1,351 @@
+"""ORB feature extraction, vectorized for TPU.
+
+Reference algorithm (orb.rs): contrast stretch -> FAST-9/16 corners with a
+binary-search score -> 3x3 non-max suppression -> Harris corner response
+ranking (top 10 000) -> 11-wide Gaussian blur -> intensity-centroid
+orientation -> 256-bit rotated-BRIEF descriptors.
+
+TPU redesign (SURVEY.md §7): every per-pixel loop becomes a whole-image
+array op —
+  * FAST: 16 rolled comparisons + circular run-length via windowed minima
+    over the tap ring (replaces orb.rs:425-453's sequential arc walk)
+  * FAST score: closed-form max-over-arcs of min |tap - center| - 1, which
+    equals the reference's binary search over thresholds (orb.rs:122-134)
+  * NMS: keypoint kept iff its score strictly exceeds every 8-neighbor
+    score (ties eliminate both, matching orb.rs:137-187)
+  * Harris: dense Sobel + separable Gaussian-window products, gathered at
+    keypoints (orb.rs:230-269)
+  * top-K by Harris response via lax.top_k (orb.rs:76-81)
+  * BRIEF: batched gathers of rotated pattern taps (orb.rs:346-405)
+
+The BRIEF pattern is generated from a seeded Gaussian (the original
+BRIEF-style construction) rather than OpenCV's learned bit_pattern_31_
+table embedded in the reference (orb.rs:474-732); both images use the same
+pattern so matching behavior is equivalent.
+
+Note: the reference's second blur pass allocates the output grid as
+(width, width) (orb.rs:293), losing bottom rows for portrait images; this
+implementation uses the full (height, width) extent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cybervision_tpu.config import OrbConfig
+
+# FAST circle of 16 offsets, radius 3, clockwise from 12 o'clock
+# (orb.rs:11-28). Each entry is (dx, dy).
+FAST_CIRCLE = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1),
+        (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1),
+        (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+    ],
+    dtype=np.int32,
+)
+
+
+def gaussian_kernel(width: int) -> np.ndarray:
+    """Gaussian taps with sigma=(width-1)/6 and analytic 1/(sqrt(2pi)s)
+    normalization — deliberately not unit-sum (orb.rs:190-202)."""
+    sigma = (width - 1) / 6.0
+    center = width // 2
+    i = np.arange(width, dtype=np.float64)
+    return np.exp(-((i - center) ** 2) / (2.0 * sigma**2)) / (np.sqrt(2.0 * np.pi) * sigma)
+
+
+def brief_pattern(cfg: OrbConfig) -> np.ndarray:
+    """(256, 2, 2) int32 point-pair offsets in [-15, 15], seeded Gaussian
+    with sigma = patch/5 (BRIEF construction; see module docstring)."""
+    rs = np.random.RandomState(cfg.pattern_seed & 0x7FFFFFFF)
+    half = cfg.patch_width // 2
+    sigma = cfg.patch_width / 5.0
+    pts = rs.normal(0.0, sigma, size=(cfg.descriptor_bits, 2, 2))
+    return np.clip(np.round(pts), -half, half).astype(np.int32)
+
+
+def adjust_contrast(img: jnp.ndarray) -> jnp.ndarray:
+    """Linear min/max stretch to [0,255], rounding like the reference's
+    u8 cast (orb.rs:455-472). Input/output: int32 in [0,255]."""
+    lo = jnp.min(img)
+    hi = jnp.max(img)
+    coeff = 255.0 / jnp.maximum(hi - lo, 1).astype(jnp.float32)
+    stretched = jnp.round(coeff * (img - lo).astype(jnp.float32)).astype(jnp.int32)
+    return jnp.where(lo >= hi, img, stretched)
+
+
+def _circle_taps(img: jnp.ndarray) -> jnp.ndarray:
+    """(16, H, W) circle tap values (edge pixels are masked later)."""
+    taps = [jnp.roll(img, shift=(-int(dy), -int(dx)), axis=(0, 1)) for dx, dy in FAST_CIRCLE]
+    return jnp.stack(taps, axis=0)
+
+
+def fast_scores(img: jnp.ndarray, threshold: int, arc: int = 9) -> jnp.ndarray:
+    """FAST-9/16 corner scores; -1 where not a corner.
+
+    score = (max over 16 circular 9-arcs of min(|tap - center|)) - 1,
+    taken over the brighter and darker tap sets independently — the exact
+    value the reference finds by binary search (orb.rs:122-134), since a
+    point is a corner at threshold t iff some 9-arc has all taps strictly
+    more than t brighter (or darker) than the center.
+    """
+    img = img.astype(jnp.int32)
+    taps = _circle_taps(img)
+    d = taps - img[None, :, :]  # (16, H, W)
+
+    def arc_min(x):
+        m = x
+        for k in range(1, arc):
+            m = jnp.minimum(m, jnp.roll(x, -k, axis=0))
+        return jnp.max(m, axis=0)
+
+    bright = arc_min(d)  # max over arcs of min (tap - center)
+    dark = arc_min(-d)
+    score = jnp.maximum(bright, dark) - 1  # max t with strict > t
+    score = jnp.where(score >= threshold, score, -1)
+
+    h, w = img.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    border = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return jnp.where(border, score, -1)
+
+
+def non_max_suppression(score: jnp.ndarray) -> jnp.ndarray:
+    """Keep a corner iff its score strictly exceeds all 8 neighbors'
+    (equal-score neighbors eliminate each other, as in orb.rs:137-187)."""
+    neighbor_max = jnp.full_like(score, -1)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = jnp.roll(score, shift=(dy, dx), axis=(0, 1))
+            # Mask wrap-around at the borders.
+            h, w = score.shape
+            ys = jnp.arange(h)[:, None]
+            xs = jnp.arange(w)[None, :]
+            ok = (
+                (ys - dy >= 0) & (ys - dy < h) & (xs - dx >= 0) & (xs - dx < w)
+            )
+            neighbor_max = jnp.maximum(neighbor_max, jnp.where(ok, shifted, -1))
+    return (score >= 0) & (score > neighbor_max)
+
+
+def _separable_window_sum(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Weighted window sum with a separable kernel, 'same' size (values
+    near borders are partial; border pixels are masked by callers)."""
+    k = taps.shape[0]
+    half = k // 2
+    out = jnp.zeros_like(x)
+    for i in range(k):
+        out = out + taps[i] * jnp.roll(x, half - i, axis=1)
+    out2 = jnp.zeros_like(out)
+    for i in range(k):
+        out2 = out2 + taps[i] * jnp.roll(out, half - i, axis=0)
+    return out2
+
+
+def harris_response(img: jnp.ndarray, cfg: OrbConfig) -> jnp.ndarray:
+    """Dense Harris response on the original (unstretched) image.
+
+    Sobel gradients of img/255, Gaussian-windowed structure tensor with a
+    7-wide non-unit-sum kernel, response = det - k*trace^2
+    (orb.rs:230-269). Border pixels (margin 4) are set to -inf so they
+    never survive ranking — the reference drops them via Option.
+    """
+    x = img.astype(jnp.float32) / 255.0
+
+    def shift(a, dy, dx):
+        return jnp.roll(a, shift=(-dy, -dx), axis=(0, 1))
+
+    # Sobel x/y (orb.rs:235-236).
+    dx = (
+        -shift(x, -1, -1) + shift(x, -1, 1)
+        - 2.0 * shift(x, 0, -1) + 2.0 * shift(x, 0, 1)
+        - shift(x, 1, -1) + shift(x, 1, 1)
+    )
+    dy = (
+        -shift(x, -1, -1) - 2.0 * shift(x, -1, 0) - shift(x, -1, 1)
+        + shift(x, 1, -1) + 2.0 * shift(x, 1, 0) + shift(x, 1, 1)
+    )
+
+    taps = jnp.asarray(gaussian_kernel(cfg.harris_kernel_width), dtype=jnp.float32)
+    g_dx2 = _separable_window_sum(dx * dx, taps)
+    g_dy2 = _separable_window_sum(dy * dy, taps)
+    g_dxdy = _separable_window_sum(dx * dy, taps)
+
+    det = g_dx2 * g_dy2 - g_dxdy * g_dxdy
+    trace = g_dx2 + g_dy2
+    response = det - cfg.harris_k * trace * trace
+
+    h, w = img.shape
+    margin = cfg.harris_kernel_width // 2 + 1  # window + Sobel reach
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    ok = (ys >= margin) & (ys < h - margin) & (xs >= margin) & (xs < w - margin)
+    return jnp.where(ok, response, -jnp.inf)
+
+
+def gaussian_blur(img: jnp.ndarray, cfg: OrbConfig) -> jnp.ndarray:
+    """11-wide separable Gaussian blur of the original image; returns
+    (blurred f32, valid bool) where valid excludes the border band the
+    reference leaves as None (orb.rs:271-314)."""
+    taps = jnp.asarray(gaussian_kernel(cfg.blur_kernel_width), dtype=jnp.float32)
+    blurred = _separable_window_sum(img.astype(jnp.float32), taps)
+    h, w = img.shape
+    half = cfg.blur_kernel_width // 2
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    valid = (ys >= half) & (ys < h - half) & (xs >= half) & (xs < w - half)
+    return blurred, valid
+
+
+def orientations(
+    blurred: jnp.ndarray,
+    blurred_valid: jnp.ndarray,
+    pts: jnp.ndarray,
+    cfg: OrbConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Intensity-centroid orientation over a 31x31 patch of the blurred
+    image (orb.rs:316-344). pts: (K, 2) as (x, y). Returns (angle, valid)."""
+    half = cfg.patch_width // 2
+    h, w = blurred.shape
+    val = jnp.clip(blurred, 0.0, 255.0) * blurred_valid
+
+    oy, ox = jnp.meshgrid(
+        jnp.arange(-half, half + 1), jnp.arange(-half, half + 1), indexing="ij"
+    )
+    px = pts[:, 0:1] + ox.reshape(1, -1)  # (K, 961)
+    py = pts[:, 1:2] + oy.reshape(1, -1)
+    pxc = jnp.clip(px, 0, w - 1)
+    pyc = jnp.clip(py, 0, h - 1)
+    v = val[pyc, pxc]
+
+    m00 = jnp.sum(v, axis=1)
+    m10 = jnp.sum(v * ox.reshape(1, -1), axis=1)
+    m01 = jnp.sum(v * oy.reshape(1, -1), axis=1)
+    angle = jnp.arctan2(m01, m10)
+
+    # The reference's patch read returns None (dropping the keypoint) if any
+    # tap falls in the unblurred border band (orb.rs:332), so the effective
+    # margin is patch half-width + blur half-width.
+    margin = half + cfg.blur_kernel_width // 2
+    in_bounds = (
+        (pts[:, 0] >= margin)
+        & (pts[:, 1] >= margin)
+        & (pts[:, 0] + margin < w)
+        & (pts[:, 1] + margin < h)
+    )
+    valid = in_bounds & (m00 > 0)
+    return angle, valid
+
+
+def brief_descriptors(
+    blurred: jnp.ndarray,
+    blurred_valid: jnp.ndarray,
+    pts: jnp.ndarray,
+    angles: jnp.ndarray,
+    pattern: jnp.ndarray,
+    cfg: OrbConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotated-BRIEF 256-bit descriptors packed as (K, 8) uint32
+    (orb.rs:346-405). Returns (descriptors, valid)."""
+    h, w = blurred.shape
+    c = jnp.cos(angles)[:, None]  # (K, 1)
+    s = jnp.sin(angles)[:, None]
+
+    ox = pattern[:, :, 0].astype(jnp.float32).reshape(1, -1)  # (1, 512)
+    oy = pattern[:, :, 1].astype(jnp.float32).reshape(1, -1)
+    rx = jnp.round(ox * c - oy * s).astype(jnp.int32)
+    ry = jnp.round(ox * s + oy * c).astype(jnp.int32)
+
+    px = pts[:, 0:1] + rx  # (K, 512)
+    py = pts[:, 1:2] + ry
+    in_bounds = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    pxc = jnp.clip(px, 0, w - 1)
+    pyc = jnp.clip(py, 0, h - 1)
+    tap_ok = in_bounds & blurred_valid[pyc, pxc]
+    vals = blurred[pyc, pxc]  # (K, 512)
+
+    nbits = cfg.descriptor_bits
+    v = vals.reshape(-1, nbits, 2)
+    tau = (v[:, :, 0] < v[:, :, 1]).astype(jnp.uint32)  # (K, 256)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    desc = jnp.sum(tau.reshape(-1, nbits // 32, 32) * weights, axis=2, dtype=jnp.uint32)
+
+    valid = jnp.all(tap_ok, axis=1)
+    return desc, valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_keypoints(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()):
+    """Full ORB extraction for one image (orb.rs:50-84).
+
+    img: (H, W) uint8/int32.
+    Returns dict with:
+      pts:   (max_keypoints, 2) int32 (x, y)
+      desc:  (max_keypoints, 8) uint32
+      valid: (max_keypoints,) bool
+    Keypoints are ordered by descending Harris response like the
+    reference's sort (orb.rs:76-81).
+    """
+    img = img.astype(jnp.int32)
+    stretched = adjust_contrast(img)
+
+    score = fast_scores(stretched, cfg.fast_threshold, cfg.fast_num_points)
+    keep = non_max_suppression(score)
+
+    harris = harris_response(img, cfg)
+    ranked = jnp.where(keep, harris, -jnp.inf)
+
+    k = min(cfg.max_keypoints, img.shape[0] * img.shape[1])
+    top_vals, top_idx = jax.lax.top_k(ranked.reshape(-1), k)
+    w = img.shape[1]
+    pts = jnp.stack([top_idx % w, top_idx // w], axis=1).astype(jnp.int32)
+    kp_valid = jnp.isfinite(top_vals)
+
+    blurred, blurred_valid = gaussian_blur(img, cfg)
+    angles, angle_valid = orientations(blurred, blurred_valid, pts, cfg)
+    pattern = jnp.asarray(brief_pattern(cfg))
+    desc, desc_valid = brief_descriptors(
+        blurred, blurred_valid, pts, angles, pattern, cfg
+    )
+
+    valid = kp_valid & angle_valid & desc_valid
+    return {"pts": pts, "desc": desc, "valid": valid}
+
+
+def extract_keypoints_pyramid(source_img: np.ndarray, cfg: OrbConfig = OrbConfig()):
+    """Multi-scale extraction: run ORB at every pyramid scale and map
+    coordinates back to full resolution with truncating division
+    (reconstruction.rs:407-459).
+
+    Returns (pts (N,2) int64 full-res, desc (N,8) uint32) as numpy arrays
+    with invalid slots removed.
+    """
+    from cybervision_tpu.config import pyramid_scales
+    from cybervision_tpu.images import resize_lanczos
+
+    h, w = source_img.shape
+    scales = pyramid_scales((w, h), cfg.keypoint_scale_min_size)
+    all_pts = []
+    all_desc = []
+    for scale in scales:
+        scaled = resize_lanczos(source_img, scale)
+        out = extract_keypoints(jnp.asarray(scaled), cfg)
+        pts = np.asarray(out["pts"])
+        desc = np.asarray(out["desc"])
+        valid = np.asarray(out["valid"])
+        pts = pts[valid]
+        desc = desc[valid]
+        # Truncating map back to full-res (reconstruction.rs:433-437).
+        pts = (pts.astype(np.float32) / scale).astype(np.int64)
+        all_pts.append(pts)
+        all_desc.append(desc)
+    return np.concatenate(all_pts, axis=0), np.concatenate(all_desc, axis=0)

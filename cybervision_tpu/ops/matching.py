@@ -1,0 +1,112 @@
+"""Brute-force BRIEF descriptor matching on the MXU.
+
+Reference (pointmatching.rs:43-77): for every keypoint in image 1, find the
+image-2 keypoint with minimal Hamming distance over 256-bit descriptors
+(XOR + popcount over 8 u32 words), keep it if the distance is within the
+projection-mode threshold (32 affine / 48 perspective), and sort the
+surviving matches by ascending distance.
+
+TPU redesign: descriptors unpack to ±1 int8 vectors so that
+    hamming(x, y) = (256 - <a, b>) / 2,
+turning the O(N1*N2) XOR/popcount loop into an (N1,256)x(256,N2) int8
+matmul on the systolic array, followed by a masked argmin. Row-chunking
+bounds the live (chunk, N2) distance tile so N1*N2 never materializes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BITS = 256
+_WORDS = 8
+
+
+def _unpack_pm1(desc: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) uint32 -> (N, 256) int8 in {-1, +1} (bit i of word w ->
+    column w*32+i, the packing order of ops.features.brief_descriptors)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bits = (desc[:, :, None] >> shifts) & jnp.uint32(1)
+    bits = bits.reshape(desc.shape[0], _BITS)
+    return (bits.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def match_descriptors(
+    desc1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    threshold: int,
+    chunk: int = 4096,
+):
+    """Best match in set 2 for each descriptor in set 1.
+
+    Returns (best_idx (N1,) int32, best_dist (N1,) int32, matched (N1,) bool).
+    Ties resolve to the lowest index, like the reference's min_by over the
+    iteration order (pointmatching.rs:61-71).
+    """
+    n1 = desc1.shape[0]
+    a = _unpack_pm1(desc1)
+    b = _unpack_pm1(desc2)
+    # Invalid rows of set 2 get +inf-like distance via masking after matmul.
+    bad2 = ~valid2
+
+    pad = (-n1) % chunk
+    a_p = jnp.pad(a, ((0, pad), (0, 0)))
+    v1_p = jnp.pad(valid1, (0, pad))
+
+    def one_chunk(args):
+        a_c, _ = args
+        dot = jax.lax.dot_general(
+            a_c,
+            b.T,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dist = (_BITS - dot) // 2  # exact Hamming distance
+        dist = jnp.where(bad2[None, :], _BITS + 1, dist)
+        best = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        best_d = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+        return best, best_d
+
+    n_chunks = (n1 + pad) // chunk
+    a_chunks = a_p.reshape(n_chunks, chunk, _BITS)
+    v_chunks = v1_p.reshape(n_chunks, chunk)
+    best_idx, best_dist = jax.lax.map(one_chunk, (a_chunks, v_chunks))
+    best_idx = best_idx.reshape(-1)[:n1]
+    best_dist = best_dist.reshape(-1)[:n1]
+
+    matched = valid1 & (best_dist <= threshold)
+    return best_idx, best_dist, matched
+
+
+def match_keypoints(
+    pts1: np.ndarray,
+    desc1: np.ndarray,
+    pts2: np.ndarray,
+    desc2: np.ndarray,
+    threshold: int,
+) -> np.ndarray:
+    """Host-level wrapper: returns matches as an (M, 4) int64 array of
+    (x1, y1, x2, y2) sorted by ascending Hamming distance
+    (pointmatching.rs:74), ready for RANSAC top-inlier sampling."""
+    if len(pts1) == 0 or len(pts2) == 0:
+        return np.zeros((0, 4), dtype=np.int64)
+    d1 = jnp.asarray(desc1)
+    d2 = jnp.asarray(desc2)
+    v1 = jnp.ones((len(desc1),), dtype=bool)
+    v2 = jnp.ones((len(desc2),), dtype=bool)
+    idx, dist, ok = match_descriptors(d1, v1, d2, v2, threshold)
+    idx = np.asarray(idx)
+    dist = np.asarray(dist)
+    ok = np.asarray(ok)
+
+    p1 = pts1[ok]
+    p2 = pts2[idx[ok]]
+    d = dist[ok]
+    order = np.argsort(d, kind="stable")
+    return np.concatenate([p1[order], p2[order]], axis=1).astype(np.int64)
