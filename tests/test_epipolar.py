@@ -1,0 +1,205 @@
+"""Fundamental-matrix RANSAC tests on synthetic geometry
+(fundamentalmatrix.rs oracle behavior)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cybervision_tpu.config import ProjectionMode, RansacConfig
+from cybervision_tpu.ops import epipolar
+
+
+def _affine_scene(rng, n_inliers=120, n_outliers=40, size=1000):
+    """Correspondences exactly on a known affine epipolar geometry."""
+    a, b, c, d, e = 0.3, 1.0, -0.9, 0.4, 50.0
+    f_true = np.array([[0, 0, a], [0, 0, b], [c, d, e]], dtype=np.float64)
+    p1 = rng.uniform(50, size - 50, (n_inliers, 2))
+    x2 = rng.uniform(50, size - 50, n_inliers)
+    # p2' F p1 = a*x2 + b*y2 + (c*x1 + d*y1 + e) = 0
+    y2 = -(a * x2 + c * p1[:, 0] + d * p1[:, 1] + e) / b
+    p2 = np.stack([x2, y2], axis=1)
+    out1 = rng.uniform(0, size, (n_outliers, 2))
+    out2 = rng.uniform(0, size, (n_outliers, 2))
+    matches = np.concatenate(
+        [
+            np.concatenate([p1, p2], axis=1),
+            np.concatenate([out1, out2], axis=1),
+        ],
+        axis=0,
+    )
+    rng.shuffle(matches)
+    return np.round(matches).astype(np.int64), f_true
+
+
+def _perspective_scene(rng, n_points=250, n_outliers=30):
+    """Two projective cameras viewing a random 3D cloud; F from cameras."""
+    k = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]])
+    r = _rotation(np.array([0.02, 0.25, -0.03]))
+    t = np.array([1.0, 0.1, 0.2])
+    p1m = k @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    p2m = k @ np.hstack([r, t[:, None]])
+
+    pts3 = np.stack(
+        [
+            rng.uniform(-3, 3, n_points),
+            rng.uniform(-3, 3, n_points),
+            rng.uniform(6, 14, n_points),
+        ],
+        axis=1,
+    )
+    h = np.hstack([pts3, np.ones((n_points, 1))])
+    q1 = (p1m @ h.T).T
+    q2 = (p2m @ h.T).T
+    p1 = q1[:, :2] / q1[:, 2:3]
+    p2 = q2[:, :2] / q2[:, 2:3]
+
+    # F = [e2]x P2 P1^+ with e2 = P2 C1.
+    e2 = p2m @ np.array([0, 0, 0, 1.0])
+    e2x = np.array(
+        [[0, -e2[2], e2[1]], [e2[2], 0, -e2[0]], [-e2[1], e2[0], 0]]
+    )
+    f_true = e2x @ p2m @ np.linalg.pinv(p1m)
+    f_true /= f_true[2, 2]
+
+    out1 = rng.uniform(0, 640, (n_outliers, 2))
+    out2 = rng.uniform(0, 480, (n_outliers, 2))
+    matches = np.concatenate(
+        [np.concatenate([p1, p2], axis=1), np.concatenate([out1, out2], axis=1)]
+    )
+    return np.round(matches).astype(np.int64), f_true
+
+
+def _rotation(rvec):
+    theta = np.linalg.norm(rvec)
+    u = rvec / theta
+    ux = np.array([[0, -u[2], u[1]], [u[2], 0, -u[0]], [-u[1], u[0], 0]])
+    return np.cos(theta) * np.eye(3) + np.sin(theta) * ux + (1 - np.cos(theta)) * np.outer(u, u)
+
+
+def _f_close(fa, fb, tol=5e-2):
+    fa = fa / np.linalg.norm(fa)
+    fb = fb / np.linalg.norm(fb)
+    return min(np.abs(fa - fb).max(), np.abs(fa + fb).max()) < tol
+
+
+def test_sampson_error_zero_on_epipolar_points(rng):
+    matches, f_true = _affine_scene(rng)
+    p1 = matches[:, :2].astype(np.float64)
+    p2 = matches[:, 2:].astype(np.float64)
+    err = np.asarray(
+        epipolar.sampson_error(jnp.asarray(f_true), jnp.asarray(p1), jnp.asarray(p2))
+    )
+    # Inliers were rounded to integer pixels: error stays below ~1.
+    assert np.median(err) < 1.0
+
+
+def test_cubic_roots_against_numpy(rng):
+    coeffs = rng.uniform(-2, 2, (64, 4))
+    coeffs[0] = [1.0, -6.0, 11.0, -6.0]  # roots 1, 2, 3
+    coeffs[1] = [1.0, 0.0, 1.0, 0.0]  # single real root 0
+    coeffs[2] = [0.0, 1.0, -3.0, 2.0]  # quadratic: 1, 2
+    coeffs[3] = [0.0, 0.0, 2.0, -4.0]  # linear: 2
+    roots, ok = epipolar.cubic_roots(
+        jnp.asarray(coeffs[:, 0]),
+        jnp.asarray(coeffs[:, 1]),
+        jnp.asarray(coeffs[:, 2]),
+        jnp.asarray(coeffs[:, 3]),
+    )
+    roots = np.asarray(roots)
+    ok = np.asarray(ok)
+    for i in range(len(coeffs)):
+        np_roots = np.roots(coeffs[i][np.abs(coeffs[i]).cumsum() > 0])
+        np_real = np.sort(np_roots[np.abs(np_roots.imag) < 1e-6].real)
+        mine = np.sort(roots[i][ok[i]])
+        # Same number of real roots (up to double-root boundary wobble)
+        # and matching values.
+        assert len(mine) >= 1 or len(np_real) == 0
+        if len(np_real) == len(mine):
+            np.testing.assert_allclose(mine, np_real, atol=1e-3, rtol=1e-3)
+
+
+def test_solve_affine_batch_recovers_f(rng):
+    matches, f_true = _affine_scene(rng, n_inliers=64, n_outliers=0)
+    s1 = jnp.asarray(matches[:16, :2].reshape(4, 4, 2), jnp.float32)
+    s2 = jnp.asarray(matches[:16, 2:].reshape(4, 4, 2), jnp.float32)
+    f, valid = epipolar.solve_affine_batch(s1, s2, 1e-3)
+    f = np.asarray(f)
+    for i in range(4):
+        if bool(valid[i]):
+            assert _f_close(f[i], f_true), f[i]
+    assert bool(np.asarray(valid).any())
+
+
+def test_solve_perspective_batch_recovers_f(rng):
+    matches, f_true = _perspective_scene(rng, n_points=64, n_outliers=0)
+    p1 = matches[:, :2].astype(np.float64)
+    p2 = matches[:, 2:].astype(np.float64)
+    t1 = np.asarray(epipolar.hartley_normalization(jnp.asarray(p1)))
+    t2 = np.asarray(epipolar.hartley_normalization(jnp.asarray(p2)))
+    n1 = (t1[:2, :2] @ p1[:21].T).T + t1[:2, 2]
+    n2 = (t2[:2, :2] @ p2[:21].T).T + t2[:2, 2]
+    f, valid = epipolar.solve_perspective_batch(
+        jnp.asarray(n1.reshape(3, 7, 2), jnp.float32),
+        jnp.asarray(n2.reshape(3, 7, 2), jnp.float32),
+        1e-3,
+    )
+    f = np.asarray(f)
+    valid = np.asarray(valid)
+    assert valid.any()
+    found = False
+    for b in range(3):
+        for r in range(3):
+            if valid[b, r]:
+                f_px = t2.T @ f[b, r] @ t1
+                f_px /= f_px[2, 2]
+                if _f_close(f_px, f_true, tol=0.05):
+                    found = True
+    assert found
+
+
+def _small_cfg(**kw):
+    return RansacConfig(
+        ransac_k_affine=2048,
+        ransac_k_perspective=4096,
+        check_interval=1024,
+        ransac_d_early_exit_affine=100,
+        ransac_d_early_exit_perspective=150,
+        ransac_d_perspective=50,
+        **kw,
+    )
+
+
+def test_find_fundamental_matrix_affine(rng):
+    matches, f_true = _affine_scene(rng)
+    result = epipolar.find_fundamental_matrix(
+        matches, ProjectionMode.AFFINE, 1000.0, _small_cfg()
+    )
+    # Pixel rounding pushes some synthetic inliers past the strict affine
+    # Sampson threshold (0.1 squared px); most still pass.
+    assert result.matches_count >= 60
+    assert _f_close(result.f, f_true, tol=1e-2)
+    # Inliers satisfy the threshold under the recovered F.
+    err = np.asarray(
+        epipolar.sampson_error(
+            jnp.asarray(result.f),
+            jnp.asarray(result.inliers[:, :2].astype(np.float64)),
+            jnp.asarray(result.inliers[:, 2:].astype(np.float64)),
+        )
+    )
+    assert err.max() <= 0.1 + 1e-9
+
+
+def test_find_fundamental_matrix_perspective(rng):
+    matches, f_true = _perspective_scene(rng)
+    result = epipolar.find_fundamental_matrix(
+        matches, ProjectionMode.PERSPECTIVE, 640.0, _small_cfg()
+    )
+    assert result.matches_count >= 200
+    assert _f_close(result.f, f_true, tol=5e-2)
+
+
+def test_not_enough_matches():
+    with pytest.raises(ValueError):
+        epipolar.find_fundamental_matrix(
+            np.zeros((5, 4), dtype=np.int64), ProjectionMode.AFFINE, 100.0
+        )
