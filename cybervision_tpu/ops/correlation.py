@@ -1,0 +1,698 @@
+"""Coarse-to-fine dense epipolar NCC correlation — the framework's core.
+
+Reference behavior (correlation/mod.rs, the GPU kernels under
+correlation/gpu/shaders/): for every pixel of img1, walk its epipolar line
+in img2 (parametrized by the dominant axis, correlation/mod.rs:386-409)
+with +-corridor_size lateral stripes, scoring 11x11 zero-mean normalized
+cross-correlation (correlation/mod.rs:411-466); at the coarsest pyramid
+scale the full corridor is searched, and every finer scale searches a
+per-pixel window derived from the previous scale's matches in a 10px
+neighborhood (mean corridor position +- (min_range + stdev*extend_range),
+correlation/mod.rs:468-540); forward and reverse directions are mutually
+cross-checked each scale (correlation/mod.rs:552-624).
+
+TPU redesign (SURVEY.md §5/§7) — no per-pixel corridor walks:
+
+* First (coarsest) pass: exact all-pairs patch correlation as an
+  (P1, 121) x (121, P2) matmul on the MXU over zero-mean normalized
+  patches, masked to each pixel's epipolar corridor band, chunked over
+  img1 rows. Identical candidate set and NCC values to the reference's
+  walk — the corridor test "x2 == floor(line(i)) + o for some |o| <= cs"
+  is evaluated in closed form per (p, q) pair.
+
+* Refine passes: hypothesis-sweep. Each hypothesis (r, o) = (offset along
+  the corridor window, lateral stripe) warps img2 by the per-pixel
+  candidate map and scores all pixels at once: one gather + elementwise
+  product + separable 11x11 box filter + running argmax carry (the same
+  blockwise-max structure as the reference's corridor segmentation,
+  gpu/mod.rs:333-356). This evaluates NCC with a locally-constant
+  disparity approximation inside the 11x11 window (fronto-parallel
+  support, the standard plane-sweep formulation) — the reference instead
+  re-gathers the window at every candidate. Validated against the exact
+  oracle in tests.
+
+* Search-range estimation: the reference's 10px neighbor scan over the
+  full-resolution grid reduces exactly to a fixed 10x10 window in the
+  previous scale's grid anchored at ceil(p/2)-5 (integer identity, see
+  _neighbor_stats), turning the per-pixel scan into 100 shifted adds.
+
+* Cross-check: the full-resolution +-4*(1/scale) mutual-consistency test
+  reduces exactly to +-4 cells at the current scale (the grids only hold
+  entries at multiples of 1/scale).
+
+The per-pixel window length is bucketed to static sizes so XLA compiles a
+fixed program per (shape, bucket); masked lanes cover the variation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cybervision_tpu.config import (
+    CorrelationConfig,
+    ProjectionMode,
+    pyramid_scales,
+)
+
+KS = 5  # kernel half-width (correlation/mod.rs:16)
+KW = 2 * KS + 1
+KPC = KW * KW
+
+
+class CorrelationState(NamedTuple):
+    """Per-direction match state at the current pyramid scale.
+
+    pos: (H, W, 2) int32 full-resolution (x, y) of the match in the other
+         image (the reference stores round(x2/scale), mod.rs:459-462).
+    corr: (H, W) f32 best NCC value.
+    valid: (H, W) bool.
+    """
+
+    pos: jnp.ndarray
+    corr: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def empty_state(h: int, w: int) -> CorrelationState:
+    return CorrelationState(
+        pos=jnp.zeros((h, w, 2), jnp.int32),
+        corr=jnp.full((h, w), -1.0, jnp.float32),
+        valid=jnp.zeros((h, w), bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window statistics
+
+
+def _box11(x: jnp.ndarray) -> jnp.ndarray:
+    """11x11 window sum ('same' size; borders are partial and masked by
+    callers). Two separable passes of 11 shifted adds."""
+    s = x
+    acc = jnp.zeros_like(x)
+    for dx in range(-KS, KS + 1):
+        acc = acc + jnp.roll(s, -dx, axis=-1)
+    s, acc = acc, jnp.zeros_like(x)
+    for dy in range(-KS, KS + 1):
+        acc = acc + jnp.roll(s, -dy, axis=-2)
+    return acc
+
+
+def window_stats(img: jnp.ndarray):
+    """Per-pixel 11x11 mean and stdev (population), like
+    prepare_initialdata_correlation.comp.glsl:60-119 /
+    correlation/mod.rs:657-694. Returns (avg, stdev, margin_valid)."""
+    img = img.astype(jnp.float32)
+    n = float(KPC)
+    s1 = _box11(img)
+    s2 = _box11(img * img)
+    avg = s1 / n
+    var = jnp.maximum(s2 / n - avg * avg, 0.0)
+    stdev = jnp.sqrt(var)
+    h, w = img.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    ok = (ys >= KS) & (ys < h - KS) & (xs >= KS) & (xs < w - KS)
+    return avg, stdev, ok
+
+
+# ---------------------------------------------------------------------------
+# Epipolar geometry per pixel
+
+
+def epipolar_fields(f: jnp.ndarray, h: int, w: int, scale: float):
+    """Per-pixel corridor parametrization (correlation/mod.rs:386-409).
+
+    Returns dict with:
+      vert: (H, W) bool — corridor parametrized by y2 (the dominant-axis
+            coefficient is 1, so corridor positions are plain coordinates)
+      coeff: (H, W) f32 — off-axis slope (x2 = coeff*i + add for vert)
+      add:  (H, W) f32
+      finite: (H, W) bool
+    """
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] / scale
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] / scale
+    a = f[0, 0] * xs + f[0, 1] * ys + f[0, 2]
+    b = f[1, 0] * xs + f[1, 1] * ys + f[1, 2]
+    c = f[2, 0] * xs + f[2, 1] * ys + f[2, 2]
+    a = jnp.broadcast_to(a, (h, w))
+    b = jnp.broadcast_to(b, (h, w))
+    c = jnp.broadcast_to(c, (h, w))
+    vert = jnp.abs(a) > jnp.abs(b)
+    denom = jnp.where(vert, a, b)
+    safe = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+    coeff = jnp.where(vert, -b, -a) / safe
+    add = -scale * c / safe
+    finite = jnp.isfinite(coeff) & jnp.isfinite(add) & (jnp.abs(denom) > 0)
+    return {"vert": vert, "coeff": coeff, "add": add, "finite": finite}
+
+
+# ---------------------------------------------------------------------------
+# First (coarsest) pass: exact all-pairs patch matmul
+
+
+@functools.partial(jax.jit, static_argnames=("corridor_size", "row_chunk"))
+def first_pass(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    f: jnp.ndarray,
+    scale: float,
+    threshold: float,
+    min_stdev: float,
+    corridor_size: int,
+    row_chunk: int = 8,
+) -> CorrelationState:
+    """Full-corridor exact NCC search at the coarsest scale.
+
+    corr(p, q) = <d1(p)/(121*s1), d2(q)/s2> over 11x11 zero-mean patches,
+    computed as a blocked matmul; candidates masked to q on p's corridor
+    band with |lateral offset| <= corridor_size and corridor index within
+    [KS, dim - KS) (correlate_point's first-pass range, mod.rs:346-360).
+    """
+    h1, w1 = img1.shape
+    h2, w2 = img2.shape
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+
+    avg1, sd1, ok1 = window_stats(img1)
+    avg2, sd2, ok2 = window_stats(img2)
+    ep = epipolar_fields(f, h1, w1, scale)
+
+    def patches(img, avg, sd, inv_n):
+        # (H*W, 121) zero-mean patches; rows at margin pixels are garbage
+        # and masked via validity.
+        cols = []
+        for dy in range(-KS, KS + 1):
+            for dx in range(-KS, KS + 1):
+                cols.append(jnp.roll(img, (-dy, -dx), axis=(0, 1)))
+        p = jnp.stack(cols, axis=-1) - avg[:, :, None]
+        denom = jnp.maximum(sd, 1e-12)[:, :, None]
+        if inv_n:
+            p = p / (denom * KPC)
+        else:
+            p = p / denom
+        return p.reshape(-1, KPC)
+
+    a1 = patches(img1, avg1, sd1, inv_n=True)  # (P1, 121)
+    a2 = patches(img2, avg2, sd2, inv_n=False)  # (P2, 121)
+
+    q_ys = jnp.arange(h2, dtype=jnp.float32)[:, None]
+    q_xs = jnp.arange(w2, dtype=jnp.float32)[None, :]
+    q_y = jnp.broadcast_to(q_ys, (h2, w2)).reshape(-1)
+    q_x = jnp.broadcast_to(q_xs, (h2, w2)).reshape(-1)
+    q_ok = (ok2 & (sd2 >= min_stdev)).reshape(-1)
+
+    p_valid = (ok1 & (sd1 >= min_stdev) & ep["finite"]).reshape(-1)
+    vert = ep["vert"].reshape(-1)
+    coeff = ep["coeff"].reshape(-1)
+    add = ep["add"].reshape(-1)
+
+    cs = float(corridor_size)
+    pad_rows = (-h1) % row_chunk
+    total_rows = h1 + pad_rows
+
+    def pack(x, fill=0):
+        x = x.reshape(h1, w1, -1)
+        x = jnp.pad(x, ((0, pad_rows), (0, 0), (0, 0)), constant_values=fill)
+        return x.reshape(total_rows // row_chunk, row_chunk * w1, -1)
+
+    a1_c = pack(a1)
+    pv_c = pack(p_valid)[..., 0]
+    vert_c = pack(vert)[..., 0]
+    coeff_c = pack(coeff)[..., 0]
+    add_c = pack(add)[..., 0]
+
+    def one_chunk(args):
+        a1_b, pv_b, vert_b, coeff_b, add_b = args
+        corr = jax.lax.dot_general(
+            a1_b,
+            a2.T,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, P2)
+
+        # Corridor membership: for vert, i = y2 and the walked x is
+        # floor(coeff*i + add) + o for o in [-cs, cs]; q belongs iff
+        # x2 - floor(coeff*y2 + add) in [-cs, cs] and y2 in [KS, h2-KS).
+        i_coord = jnp.where(vert_b[:, None], q_y[None, :], q_x[None, :])
+        off_coord = jnp.where(vert_b[:, None], q_x[None, :], q_y[None, :])
+        line = jnp.floor(coeff_b[:, None] * i_coord + add_b[:, None])
+        on_band = jnp.abs(off_coord - line) <= cs
+        end = jnp.where(vert_b, float(h2 - KS), float(w2 - KS))
+        in_range = (i_coord >= float(KS)) & (i_coord < end[:, None])
+
+        ok = on_band & in_range & q_ok[None, :] & pv_b[:, None]
+        ok &= corr >= threshold
+        corr = jnp.where(ok, corr, -jnp.inf)
+        best = jnp.argmax(corr, axis=1)
+        best_corr = jnp.take_along_axis(corr, best[:, None], axis=1)[:, 0]
+        bx = q_x.astype(jnp.int32)[best]
+        by = q_y.astype(jnp.int32)[best]
+        return best_corr, bx, by
+
+    best_corr, bx, by = jax.lax.map(
+        one_chunk, (a1_c, pv_c, vert_c, coeff_c, add_c)
+    )
+    best_corr = best_corr.reshape(-1)[: h1 * w1].reshape(h1, w1)
+    bx = bx.reshape(-1)[: h1 * w1].reshape(h1, w1)
+    by = by.reshape(-1)[: h1 * w1].reshape(h1, w1)
+
+    inv_s = jnp.round(1.0 / scale).astype(jnp.int32)
+    valid = jnp.isfinite(best_corr)
+    pos = jnp.stack([bx * inv_s, by * inv_s], axis=-1)
+    return CorrelationState(
+        pos=jnp.where(valid[:, :, None], pos, 0),
+        corr=jnp.where(valid, best_corr, -1.0),
+        valid=valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Search-range estimation from the previous scale
+
+
+def _upsample2_shift(prev: jnp.ndarray, j: int, n_cur: int) -> jnp.ndarray:
+    """prev[(p+1)//2 + j - 5] along the given (last) axis, zero-padded."""
+    idx = (jnp.arange(n_cur) + 1) // 2 + (j - 5)
+    ok = (idx >= 0) & (idx < prev.shape[-1])
+    idx = jnp.clip(idx, 0, prev.shape[-1] - 1)
+    return jnp.take(prev, idx, axis=-1), ok
+
+
+def _neighbor_stats(prev: CorrelationState, h: int, w: int, scale: float):
+    """Mean/stdev/count of neighbor match positions, both axes.
+
+    The reference scans the full-res grid over [floor((p-10)/s),
+    ceil((p+10)/s)) (correlation/mod.rs:481-517); entries exist only at
+    multiples of 2/s (written by the previous scale), so the scan is
+    exactly the previous-scale cells q in [ceil(p/2)-5, ceil(p/2)+4] —
+    a fixed 10x10 window. Positions enter in current-scale units
+    (scale * full-res position).
+
+    Returns (count, mean_x, mean_y, var_x, var_y) at (h, w).
+    """
+    px = prev.pos[:, :, 0].astype(jnp.float32) * scale
+    py = prev.pos[:, :, 1].astype(jnp.float32) * scale
+    v = prev.valid.astype(jnp.float32)
+
+    def up_axis1(arr, j):
+        out, ok = _upsample2_shift(arr, j, w)
+        return out * ok
+
+    def up_axis0(arr, j):
+        out, ok = _upsample2_shift(
+            jnp.swapaxes(arr, 0, 1), j, h
+        )
+        return jnp.swapaxes(out * ok, 0, 1)
+
+    cnt = jnp.zeros((h, w), jnp.float32)
+    sx = jnp.zeros((h, w), jnp.float32)
+    sy = jnp.zeros((h, w), jnp.float32)
+    sxx = jnp.zeros((h, w), jnp.float32)
+    syy = jnp.zeros((h, w), jnp.float32)
+
+    # Separable accumulation: first expand columns for all jx into row
+    # accumulators, then expand rows for all jy.
+    row_cnt = jnp.zeros((prev.valid.shape[0], w), jnp.float32)
+    row_sx = jnp.zeros_like(row_cnt)
+    row_sy = jnp.zeros_like(row_cnt)
+    row_sxx = jnp.zeros_like(row_cnt)
+    row_syy = jnp.zeros_like(row_cnt)
+    for jx in range(10):
+        vv = up_axis1(v, jx)
+        row_cnt += vv
+        row_sx += up_axis1(px * v, jx)
+        row_sy += up_axis1(py * v, jx)
+        row_sxx += up_axis1(px * px * v, jx)
+        row_syy += up_axis1(py * py * v, jx)
+    for jy in range(10):
+        cnt += up_axis0(row_cnt, jy)
+        sx += up_axis0(row_sx, jy)
+        sy += up_axis0(row_sy, jy)
+        sxx += up_axis0(row_sxx, jy)
+        syy += up_axis0(row_syy, jy)
+
+    n = jnp.maximum(cnt, 1.0)
+    mean_x = sx / n
+    mean_y = sy / n
+    var_x = jnp.maximum(sxx / n - mean_x * mean_x, 0.0)
+    var_y = jnp.maximum(syy / n - mean_y * mean_y, 0.0)
+    return cnt, mean_x, mean_y, var_x, var_y
+
+
+def _corridor_ranges(
+    ep,
+    prev: CorrelationState,
+    h: int,
+    w: int,
+    h2: int,
+    w2: int,
+    scale: float,
+    min_range: float,
+    extend_range: float,
+):
+    """Per-pixel corridor [start, end) along the dominant axis
+    (correlation/mod.rs:468-540). Returns (start, length, has_neighbors)."""
+    cnt, mean_x, mean_y, var_x, var_y = _neighbor_stats(prev, h, w, scale)
+    vert = ep["vert"]
+    # Corridor position of a neighbor match = its dominant-axis coordinate
+    # minus `add`, with the dominant-axis coefficient being 1
+    # (mod.rs:508-511 with coeff.y == 1 for vertical corridors).
+    # For vert, corridor_pos = (y2 - add.y)/coeff.y with add.y == 0 and
+    # coeff.y == 1 -> plain y2; horizontal likewise -> plain x2
+    # (mod.rs:508-511).
+    mid = jnp.where(vert, mean_y, mean_x)
+    stdev = jnp.sqrt(jnp.where(vert, var_y, var_x))
+
+    center = jnp.round(mid)
+    length = jnp.round(min_range + stdev * extend_range)
+    end_lim = jnp.where(vert, float(h2 - KS), float(w2 - KS))
+    start = jnp.clip(center - length, float(KS), end_lim)
+    end = jnp.clip(center + length, start, end_lim)
+    has = cnt > 0
+    # The sweep anchors hypotheses at `center` (a smooth field that tracks
+    # the epipolar-projected pixel position), NOT at `start`: the box
+    # filter's locally-constant-flow requirement q(p+k) ~ q(p)+k only
+    # holds for center-anchored candidates (`start` = center - length is
+    # jagged because `length` varies pixel-to-pixel and clips at borders).
+    return (
+        center.astype(jnp.int32),
+        start.astype(jnp.int32),
+        end.astype(jnp.int32),
+        has,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Refine pass: hypothesis sweep with warp + box filter + argmax carry
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("corridor_size", "window", "chunk"),
+)
+def refine_pass(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    prev: CorrelationState,
+    f: jnp.ndarray,
+    scale: float,
+    threshold: float,
+    min_stdev: float,
+    min_range: float,
+    extend_range: float,
+    corridor_size: int,
+    window: int,
+    chunk: int = 32,
+) -> CorrelationState:
+    """One refine-scale sweep. `window` is the static corridor-length
+    bucket; per-pixel lengths beyond it are truncated (callers pick the
+    bucket from the observed maximum so truncation only happens when the
+    bucket list is exhausted)."""
+    h1, w1 = img1.shape
+    h2, w2 = img2.shape
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+
+    avg1, sd1, ok1 = window_stats(img1)
+    avg2, sd2, ok2 = window_stats(img2)
+    ep = epipolar_fields(f, h1, w1, scale)
+    center, start, end, has = _corridor_ranges(
+        ep, prev, h1, w1, h2, w2, scale, min_range, extend_range
+    )
+
+    p_ok = ok1 & (sd1 >= min_stdev) & ep["finite"] & has
+    vert = ep["vert"]
+    coeff = ep["coeff"]
+    add = ep["add"]
+    q2_ok = ok2 & (sd2 >= min_stdev)
+
+    # Hypothesis axis: lateral stripe o (outer, matching the reference's
+    # walk order mod.rs:372-381) x center-relative corridor offset u
+    # (inner, ascending to keep the walk's first-max tie behavior).
+    n_o = 2 * corridor_size + 1
+    n_hyp = n_o * (2 * window + 1)
+    offsets_o = jnp.repeat(
+        jnp.arange(-corridor_size, corridor_size + 1, dtype=jnp.int32),
+        2 * window + 1,
+    )
+    offsets_r = jnp.tile(
+        jnp.arange(-window, window + 1, dtype=jnp.int32), n_o
+    )
+
+    def hyp_candidates(o, u):
+        """Candidate (x2, y2, in_corridor) for every pixel."""
+        idx = center + u
+        i = idx.astype(jnp.float32)
+        off = jnp.floor(coeff * i + add).astype(jnp.int32) + o
+        x2 = jnp.where(vert, off, idx)
+        y2 = jnp.where(vert, idx, off)
+        in_len = (idx >= start) & (idx < end)
+        return x2, y2, in_len
+
+    pad_h = (-n_hyp) % chunk
+    total = n_hyp + pad_h
+    o_pad = jnp.pad(offsets_o, (0, pad_h))
+    r_pad = jnp.pad(offsets_r, (0, pad_h), constant_values=10**6)
+    o_chunks = o_pad.reshape(total // chunk, chunk)
+    r_chunks = r_pad.reshape(total // chunk, chunk)
+
+    prod_base = img1  # I1 for the cross-term product
+
+    def sweep_chunk(carry, oc_rc):
+        best_corr, best_x, best_y = carry
+        oc, rc = oc_rc  # (chunk,)
+
+        x2, y2, in_len = jax.vmap(hyp_candidates)(oc, rc)  # (chunk, H, W)
+        in_b = (x2 >= KS) & (x2 < w2 - KS) & (y2 >= KS) & (y2 < h2 - KS)
+        xc = jnp.clip(x2, 0, w2 - 1)
+        yc = jnp.clip(y2, 0, h2 - 1)
+
+        warp = img2[yc, xc]  # (chunk, H, W) gathers
+        q_okg = q2_ok[yc, xc]
+
+        # NCC against the warped image's own window statistics: exact when
+        # the hypothesis field is locally a translation, and bounded by 1
+        # (Cauchy-Schwarz) even where it is not — normalizing with img2's
+        # stats at q instead would let the window-mean mismatch of a
+        # staircase warp inflate scores far past 1.
+        cross = _box11(prod_base[None] * warp)  # (chunk, H, W)
+        s_w = _box11(warp)
+        s_ww = _box11(warp * warp)
+        avg_w = s_w / KPC
+        var_w = jnp.maximum(s_ww / KPC - avg_w * avg_w, 0.0)
+        sd_w = jnp.sqrt(var_w)
+        corr = (cross / KPC - avg1[None] * avg_w) / (
+            jnp.maximum(sd1, 1e-12)[None] * jnp.maximum(sd_w, 1e-12)
+        )
+
+        ok = in_b & in_len & q_okg & p_ok[None] & (corr >= threshold)
+        corr = jnp.where(ok, corr, -jnp.inf)
+
+        # First maximum within the chunk (hypothesis order preserved).
+        idx = jnp.argmax(corr, axis=0)  # (H, W)
+        c = jnp.take_along_axis(corr, idx[None], axis=0)[0]
+        cx = jnp.take_along_axis(x2, idx[None], axis=0)[0]
+        cy = jnp.take_along_axis(y2, idx[None], axis=0)[0]
+
+        upd = c > best_corr
+        return (
+            (
+                jnp.where(upd, c, best_corr),
+                jnp.where(upd, cx, best_x),
+                jnp.where(upd, cy, best_y),
+            ),
+            None,
+        )
+
+    init = (
+        jnp.full((h1, w1), -jnp.inf, jnp.float32),
+        jnp.zeros((h1, w1), jnp.int32),
+        jnp.zeros((h1, w1), jnp.int32),
+    )
+    (best_corr, best_x, best_y), _ = jax.lax.scan(
+        sweep_chunk, init, (o_chunks, r_chunks)
+    )
+
+    inv_s = jnp.round(1.0 / scale).astype(jnp.int32)
+    valid = jnp.isfinite(best_corr)
+    pos = jnp.stack([best_x * inv_s, best_y * inv_s], axis=-1)
+    return CorrelationState(
+        pos=jnp.where(valid[:, :, None], pos, 0),
+        corr=jnp.where(valid, best_corr, -1.0),
+        valid=valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "h2", "w2"))
+def max_corridor_halfwidth(
+    prev: CorrelationState,
+    f: jnp.ndarray,
+    scale: float,
+    min_range: float,
+    extend_range: float,
+    *,
+    h: int,
+    w: int,
+    h2: int,
+    w2: int,
+):
+    """Maximum center-relative reach of any pixel's corridor — picks the
+    static sweep window bucket."""
+    ep = epipolar_fields(f, h, w, scale)
+    center, start, end, has = _corridor_ranges(
+        ep, prev, h, w, h2, w2, scale, min_range, extend_range
+    )
+    reach = jnp.maximum(center - start, end - 1 - center)
+    return jnp.max(jnp.where(has, reach, 0))
+
+
+# ---------------------------------------------------------------------------
+# Cross-check filter
+
+
+@jax.jit
+def cross_check(
+    state: CorrelationState, reverse: CorrelationState, scale: float
+) -> CorrelationState:
+    """Mutual-consistency filter (correlation/mod.rs:552-624).
+
+    At full resolution the reference searches +-4*(1/scale) cells around
+    the match and accepts if any reverse match lands within the same
+    radius of the source pixel; grids only hold entries at multiples of
+    1/scale, so this is exactly a +-4 search at the current scale.
+    """
+    h, w = state.corr.shape
+    hr, wr = reverse.corr.shape
+    inv_s = jnp.round(1.0 / scale).astype(jnp.int32)
+    sa = 4 * inv_s  # full-res units
+
+    mx = state.pos[:, :, 0] // inv_s  # match position at current scale
+    my = state.pos[:, :, 1] // inv_s
+
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    p_fx = xs * inv_s  # this pixel's full-res coords
+    p_fy = ys * inv_s
+
+    found = jnp.zeros((h, w), bool)
+    for dy in range(-4, 5):
+        for dx in range(-4, 5):
+            qx = jnp.clip(mx + dx, 0, wr - 1)
+            qy = jnp.clip(my + dy, 0, hr - 1)
+            in_b = (mx + dx >= 0) & (mx + dx < wr) & (my + dy >= 0) & (my + dy < hr)
+            r_valid = reverse.valid[qy, qx]
+            rx = reverse.pos[qy, qx, 0]
+            ry = reverse.pos[qy, qx, 1]
+            back = (
+                (rx >= p_fx - sa)
+                & (rx < p_fx + sa + 1)
+                & (ry >= p_fy - sa)
+                & (ry < p_fy + sa + 1)
+            )
+            found |= in_b & r_valid & back
+
+    keep = state.valid & found
+    return CorrelationState(
+        pos=jnp.where(keep[:, :, None], state.pos, 0),
+        corr=jnp.where(keep, state.corr, -1.0),
+        valid=keep,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+
+
+def optimal_scale_steps(dimensions: tuple[int, int], cfg=CorrelationConfig()):
+    from cybervision_tpu.config import optimal_scale_steps as oss
+
+    return oss(dimensions, cfg.scale_min_size)
+
+
+def correlate_images(
+    src1,
+    src2,
+    f: np.ndarray,
+    projection: ProjectionMode,
+    cfg: CorrelationConfig = CorrelationConfig(),
+    progress=None,
+) -> np.ndarray:
+    """Full coarse-to-fine correlation of an image pair
+    (reconstruction.rs:528-588 + correlation/mod.rs:217-245).
+
+    src1, src2: SourceImage (or any object with .img uint8 and
+    .resize(scale) -> uint8 array).
+    Returns a full-resolution (H1, W1, 3) int64 array: (x2, y2, valid)
+    per img1 pixel — the reference's correlated_points grid.
+    """
+    threshold = cfg.threshold(projection)
+    min_stdev = cfg.min_stdev(projection)
+    cs = cfg.corridor_size(projection)
+    min_range = cfg.corridor_min_range(projection)
+    extend_range = cfg.corridor_extend_range(projection)
+
+    h1, w1 = src1.img.shape
+    scales = pyramid_scales((w1, h1), cfg.scale_min_size)
+
+    f = np.asarray(f, np.float64)
+    f_fwd = jnp.asarray(f, jnp.float32)
+    f_rev = jnp.asarray(f.T, jnp.float32)
+
+    state_f = state_r = None
+    total = sum(s * s for s in scales)
+    done = 0.0
+    for si, scale in enumerate(scales):
+        im1 = jnp.asarray(src1.resize(scale))
+        im2 = jnp.asarray(src2.resize(scale))
+        if si == 0:
+            state_f = first_pass(im1, im2, f_fwd, scale, threshold, min_stdev, cs)
+            state_r = first_pass(im2, im1, f_rev, scale, threshold, min_stdev, cs)
+        else:
+            state_f = _refine_auto(
+                im1, im2, state_f, f_fwd, scale, threshold, min_stdev,
+                min_range, extend_range, cs, cfg,
+            )
+            state_r = _refine_auto(
+                im2, im1, state_r, f_rev, scale, threshold, min_stdev,
+                min_range, extend_range, cs, cfg,
+            )
+        state_f = cross_check(state_f, state_r, scale)
+        state_r = cross_check(state_r, state_f, scale)
+        done += scale * scale
+        if progress is not None:
+            progress.report_status(done / total)
+
+    pos = np.asarray(state_f.pos, np.int64)
+    valid = np.asarray(state_f.valid)
+    out = np.concatenate([pos, valid[:, :, None].astype(np.int64)], axis=2)
+    return out
+
+
+def _refine_auto(
+    im1, im2, prev, f, scale, threshold, min_stdev, min_range, extend_range,
+    cs, cfg,
+):
+    """Pick the smallest static window bucket covering the observed
+    maximum corridor length, then run the sweep."""
+    h1, w1 = im1.shape
+    h2, w2 = im2.shape
+    max_len = int(
+        max_corridor_halfwidth(
+            prev, f, scale, min_range, extend_range, h=h1, w=w1, h2=h2, w2=w2
+        )
+    )
+    window = cfg.corridor_window_buckets[-1]
+    for b in cfg.corridor_window_buckets:
+        if b >= max_len:
+            window = b
+            break
+    return refine_pass(
+        im1, im2, prev, f, scale, threshold, min_stdev, min_range,
+        extend_range, cs, window, chunk=cfg.sweep_chunk,
+    )

@@ -1,0 +1,319 @@
+"""Dense-correlation parity tests against the literal oracle
+(correlation/mod.rs semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from cybervision_tpu.config import CorrelationConfig, ProjectionMode
+from cybervision_tpu.ops import correlation as corr
+
+from . import oracle_correlation as oc
+
+# Horizontal-shift epipolar geometry: correspondences share the row, so
+# lines are y2 = y1 and corridors are horizontal.
+F_HSHIFT = np.array([[0, 0, 0], [0, 0, 1], [0, -1, 0]], dtype=np.float64)
+
+
+def _texture(rng, h, w, blur=1.5):
+    img = rng.uniform(0, 255, (h, w))
+    img = ndimage.gaussian_filter(img, blur)
+    img = (img - img.min()) / (img.max() - img.min()) * 255.0
+    return np.round(img).astype(np.uint8)
+
+
+def _shifted_pair(rng, h, w, dx, blur=1.5):
+    base = _texture(rng, h, w + dx, blur)
+    return base[:, :w].copy(), base[:, dx : dx + w].copy()
+
+
+class _FakeSource:
+    def __init__(self, img):
+        self.img = img
+
+    def resize(self, scale):
+        from cybervision_tpu.images import resize_lanczos
+
+        return resize_lanczos(self.img, scale)
+
+
+def _state_to_fullres(state, scale, h0, w0):
+    """Scatter a current-scale CorrelationState into the reference's
+    full-resolution grid layout."""
+    out = oc.empty_state(h0, w0)
+    inv_s = int(round(1.0 / scale))
+    pos = np.asarray(state.pos)
+    cc = np.asarray(state.corr)
+    vv = np.asarray(state.valid)
+    h, w = vv.shape
+    for y in range(h):
+        for x in range(w):
+            oy, ox = y * inv_s, x * inv_s
+            out["valid"][oy, ox] = vv[y, x]
+            if vv[y, x]:
+                out["pos_x"][oy, ox] = pos[y, x, 0]
+                out["pos_y"][oy, ox] = pos[y, x, 1]
+                out["corr"][oy, ox] = cc[y, x]
+    return out
+
+
+def test_window_stats_matches_oracle(rng):
+    img = _texture(rng, 24, 28)
+    avg, std, ok = corr.window_stats(jnp.asarray(img))
+    o_avg, o_std = oc.image_point_data(img)
+    avg = np.asarray(avg)
+    std = np.asarray(std)
+    interior = ~np.isnan(o_avg)
+    assert np.asarray(ok).sum() == interior.sum()
+    np.testing.assert_allclose(avg[interior], o_avg[interior], atol=1e-2)
+    np.testing.assert_allclose(std[interior], o_std[interior], atol=1e-2)
+
+
+def test_epipolar_fields_match_oracle(rng):
+    fmat = np.array(
+        [[0.001, 0.002, 0.3], [-0.002, 0.0015, 1.0], [-0.25, -1.1, 12.0]]
+    )
+    scale = 0.5
+    h, w = 16, 20
+    ep = corr.epipolar_fields(jnp.asarray(fmat, jnp.float32), h, w, scale)
+    for x, y in [(3, 4), (10, 2), (7, 13), (19, 15)]:
+        coeff, add, _ = oc.epipolar_line(fmat, x, y, scale)
+        vert = bool(ep["vert"][y, x])
+        # vert <=> |fp.x| > |fp.y| <=> parametrized by y2 (coeff.y == 1).
+        if vert:
+            assert coeff[1] == 1.0
+            np.testing.assert_allclose(float(ep["coeff"][y, x]), coeff[0], rtol=1e-4)
+            np.testing.assert_allclose(float(ep["add"][y, x]), add[0], rtol=1e-4)
+        else:
+            assert coeff[0] == 1.0
+            np.testing.assert_allclose(float(ep["coeff"][y, x]), coeff[1], rtol=1e-4)
+            np.testing.assert_allclose(float(ep["add"][y, x]), add[1], rtol=1e-4)
+
+
+def test_first_pass_matches_oracle(rng):
+    h, w, dx = 28, 32, 3
+    img1, img2 = _shifted_pair(rng, h, w, dx)
+    scale = 1.0
+
+    state = corr.first_pass(
+        jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(F_HSHIFT, jnp.float32),
+        scale, 0.6, 1.0, 2,
+    )
+    mine = _state_to_fullres(state, scale, h, w)
+
+    o_state = oc.correlate_step(
+        img1, img2, F_HSHIFT, scale, oc.empty_state(h, w), first_pass=True
+    )
+
+    assert o_state["valid"].sum() > 30  # sanity: the scene correlates
+    # Valid masks agree everywhere except float-boundary cases.
+    disagree = mine["valid"] != o_state["valid"]
+    assert disagree.mean() < 0.02, disagree.sum()
+    both = mine["valid"] & o_state["valid"]
+    # f32 boundary effects (candidates at the sigma >= 1.0 cutoff, argmax
+    # near-ties) flip a few winners; everything else is exact.
+    corr_mismatch = np.abs(mine["corr"][both] - o_state["corr"][both]) > 5e-3
+    assert corr_mismatch.mean() < 0.05
+    pos_mismatch = (mine["pos_x"][both] != o_state["pos_x"][both]) | (
+        mine["pos_y"][both] != o_state["pos_y"][both]
+    )
+    assert pos_mismatch.mean() < 0.05
+    # And the recovered disparity is the planted one.
+    ys, xs = np.nonzero(both)
+    good = np.abs(o_state["pos_x"][both] - (xs - dx)) <= 1
+    assert good.mean() > 0.9
+
+
+def test_corridor_ranges_match_oracle(rng):
+    """_corridor_ranges' 10x10-window identity vs the reference's
+    full-resolution neighbor scan (mod.rs:468-540)."""
+    scale = 1.0
+    h, w = 40, 32
+    hp, wp = 20, 16
+    h2, w2 = 40, 32
+
+    prev_valid = rng.rand(hp, wp) < 0.4
+    prev_pos = np.zeros((hp, wp, 2), np.int32)
+    # Previous-scale matches: roughly x - 3 with jitter, stored at full-res
+    # (multiples of 1/s_prev = 2).
+    for y in range(hp):
+        for x in range(wp):
+            if prev_valid[y, x]:
+                prev_pos[y, x] = (
+                    max(2 * x - 3 + rng.randint(-2, 3), 0),
+                    2 * y + rng.randint(-1, 2),
+                )
+    prev = corr.CorrelationState(
+        pos=jnp.asarray(prev_pos),
+        corr=jnp.where(jnp.asarray(prev_valid), 0.9, -1.0).astype(jnp.float32),
+        valid=jnp.asarray(prev_valid),
+    )
+
+    ep = corr.epipolar_fields(jnp.asarray(F_HSHIFT, jnp.float32), h, w, scale)
+    _center, start, end, has = corr._corridor_ranges(
+        ep, prev, h, w, h2, w2, scale, 2.5, 1.0
+    )
+    start = np.asarray(start)
+    length = np.asarray(end) - start
+    has = np.asarray(has)
+
+    # Oracle state at full resolution (entries at multiples of 2).
+    o_state = oc.empty_state(h, w)
+    for y in range(hp):
+        for x in range(wp):
+            if prev_valid[y, x]:
+                o_state["valid"][2 * y, 2 * x] = True
+                o_state["pos_x"][2 * y, 2 * x] = prev_pos[y, x, 0]
+                o_state["pos_y"][2 * y, 2 * x] = prev_pos[y, x, 1]
+
+    checked = 0
+    off_by_one = 0
+    for y in range(corr.KS, h - corr.KS):
+        for x in range(corr.KS, w - corr.KS):
+            coeff, add, _ = oc.epipolar_line(F_HSHIFT, x, y, scale)
+            rng_o = oc.estimate_search_range(
+                o_state, x, y, scale, coeff, add, corr.KS, w2 - corr.KS, 10, 2.5, 1.0
+            )
+            if rng_o is None:
+                assert not has[y, x], (x, y)
+                continue
+            assert has[y, x], (x, y)
+            s_o, e_o = rng_o
+            if abs(start[y, x] - s_o) <= 1 and abs(
+                (start[y, x] + length[y, x]) - e_o
+            ) <= 1:
+                if start[y, x] != s_o or start[y, x] + length[y, x] != e_o:
+                    off_by_one += 1
+            else:
+                raise AssertionError(
+                    f"range mismatch at {(x, y)}: mine "
+                    f"[{start[y, x]}, {start[y, x] + length[y, x]}) vs [{s_o}, {e_o})"
+                )
+            checked += 1
+    assert checked > 100
+    # f32 vs f64 variance rounding may shift the rounded bound by one.
+    assert off_by_one / checked < 0.05
+
+
+def test_refine_pass_close_to_oracle(rng):
+    """Refine sweep vs the oracle's exact corridor walk, isolated from
+    coarse-pass margin bias by planting an everywhere-valid previous-scale
+    state with the true disparity."""
+    h, w, dx = 40, 32, 2
+    img1f, img2f = _shifted_pair(rng, h, w, dx, blur=2.0)
+    hp, wp = h // 2, w // 2
+
+    prev_pos = np.zeros((hp, wp, 2), np.int32)
+    for qy in range(hp):
+        for qx in range(wp):
+            prev_pos[qy, qx] = (max(2 * qx - dx, 0), 2 * qy)
+    prev = corr.CorrelationState(
+        pos=jnp.asarray(prev_pos),
+        corr=jnp.ones((hp, wp), jnp.float32),
+        valid=jnp.ones((hp, wp), bool),
+    )
+
+    mine = corr.refine_pass(
+        jnp.asarray(img1f), jnp.asarray(img2f), prev,
+        jnp.asarray(F_HSHIFT, jnp.float32), 1.0, 0.6, 1.0, 2.5, 1.0, 2,
+        window=16,
+    )
+
+    o_prev = oc.empty_state(h, w)
+    for qy in range(hp):
+        for qx in range(wp):
+            o_prev["valid"][2 * qy, 2 * qx] = True
+            o_prev["pos_x"][2 * qy, 2 * qx] = prev_pos[qy, qx, 0]
+            o_prev["pos_y"][2 * qy, 2 * qx] = prev_pos[qy, qx, 1]
+    o_fine = oc.correlate_step(
+        img1f, img2f, F_HSHIFT, 1.0, o_prev, first_pass=False
+    )
+
+    mv = np.asarray(mine.valid)
+    ov = o_fine["valid"]
+    both = mv & ov
+    union = mv | ov
+    assert both.sum() > 300
+    assert both.sum() / union.sum() > 0.85  # mask IoU
+
+    mx = np.asarray(mine.pos[:, :, 0])
+    my = np.asarray(mine.pos[:, :, 1])
+    agree = (np.abs(mx[both] - o_fine["pos_x"][both]) <= 1) & (
+        np.abs(my[both] - o_fine["pos_y"][both]) <= 1
+    )
+    # The fronto-parallel warp approximation may move the argmax by a
+    # pixel; gross disagreement means a bug.
+    assert agree.mean() > 0.9
+
+    # Both recover the planted disparity on confident pixels.
+    ys, xs = np.nonzero(mv)
+    err = np.abs(mx[mv] - (xs - dx))
+    assert np.median(err) <= 1.0
+
+
+def test_cross_check_matches_oracle(rng):
+    scale = 0.5
+    h, w = 16, 20
+    hr, wr = 14, 18
+    inv_s = 2
+
+    def rand_state(hh, ww, other_h, other_w):
+        valid = rng.rand(hh, ww) < 0.5
+        pos = np.stack(
+            [
+                rng.randint(0, other_w, (hh, ww)) * inv_s,
+                rng.randint(0, other_h, (hh, ww)) * inv_s,
+            ],
+            axis=-1,
+        ).astype(np.int32)
+        return valid, pos
+
+    fv, fp = rand_state(h, w, hr, wr)
+    rv, rp = rand_state(hr, wr, h, w)
+    # Plant guaranteed mutual pairs.
+    for x, y, x2, y2 in [(6, 7, 5, 6), (10, 3, 12, 4)]:
+        fv[y, x] = True
+        fp[y, x] = (x2 * inv_s, y2 * inv_s)
+        rv[y2, x2] = True
+        rp[y2, x2] = (x * inv_s, y * inv_s)
+
+    state = corr.CorrelationState(
+        pos=jnp.asarray(fp), corr=jnp.full((h, w), 0.9, jnp.float32),
+        valid=jnp.asarray(fv),
+    )
+    reverse = corr.CorrelationState(
+        pos=jnp.asarray(rp), corr=jnp.full((hr, wr), 0.9, jnp.float32),
+        valid=jnp.asarray(rv),
+    )
+    mine = corr.cross_check(state, reverse, scale)
+
+    f_full = _state_to_fullres(state, scale, h * inv_s, w * inv_s)
+    r_full = _state_to_fullres(reverse, scale, hr * inv_s, wr * inv_s)
+    o = oc.cross_check(f_full, r_full, scale)
+
+    mine_v = np.asarray(mine.valid)
+    for y in range(h):
+        for x in range(w):
+            assert mine_v[y, x] == o["valid"][y * inv_s, x * inv_s], (x, y)
+    assert bool(mine_v[7, 6]) and bool(mine_v[3, 10])
+
+
+def test_correlate_images_end_to_end(rng):
+    h, w, dx = 96, 80, 3
+    img1, img2 = _shifted_pair(rng, h, w, dx, blur=1.2)
+    cfg = CorrelationConfig(scale_min_size=32)
+    out = corr.correlate_images(
+        _FakeSource(img1), _FakeSource(img2), F_HSHIFT,
+        ProjectionMode.AFFINE, cfg,
+    )
+    assert out.shape == (h, w, 3)
+    valid = out[:, :, 2] == 1
+    interior = np.zeros((h, w), bool)
+    interior[corr.KS : h - corr.KS, corr.KS : w - corr.KS] = True
+    assert valid[interior].mean() > 0.5
+    ys, xs = np.nonzero(valid)
+    err = np.abs(out[:, :, 0][valid] - (xs - dx))
+    assert np.median(err) <= 1.0
+    err_y = np.abs(out[:, :, 1][valid] - ys)
+    assert np.median(err_y) <= 1.0
