@@ -1,0 +1,252 @@
+"""Delaunay meshing with cross-camera occlusion culling.
+
+Reference (output.rs:356-519): per camera, 2D Delaunay triangulation of
+the projected visible tracks (spade bulk_load, output.rs:425); for
+multi-camera surfaces, a polygon is removed if it obstructs a nearer
+known point in any other camera's view (point z-buffer + polygon scanline
+rasterization, output.rs:256-354); polygons are deduplicated across
+cameras and grouped by camera index.
+
+Here Delaunay comes from scipy (Qhull), the point z-buffer is a vectorized
+scatter-min, and the scanline rasterizer follows the reference's edge
+interpolation (output.rs:107-254) so depth-map output matches. A C++
+rasterizer (cybervision_tpu.native) accelerates the per-polygon loops
+when built; the numpy path is the always-available fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+from scipy.spatial import Delaunay, QhullError
+
+from cybervision_tpu.config import InterpolationMode
+from cybervision_tpu.ops.surface import Surface
+
+MAX_CENTER_DISTANCE = 4.0  # output.rs:21
+
+
+def img_range(image_size: tuple[int, int]) -> tuple[tuple[float, float], tuple[float, float]]:
+    """Acceptable projection range: within +-4 image sizes of the center
+    (output.rs:613-622). image_size is (width, height)."""
+    cx = image_size[0] / 2.0
+    cy = image_size[1] / 2.0
+    return (
+        (cx - image_size[0] * MAX_CENTER_DISTANCE, cx + image_size[0] * MAX_CENTER_DISTANCE),
+        (cy - image_size[1] * MAX_CENTER_DISTANCE, cy + image_size[1] * MAX_CENTER_DISTANCE),
+    )
+
+
+def canonical_polygons(simplices: np.ndarray) -> np.ndarray:
+    """Rotate each triangle so the smallest vertex index is first while
+    preserving cyclic order (Polygon::new, output.rs:55-67)."""
+    s = simplices
+    first = np.argmin(s, axis=1)
+    idx = (first[:, None] + np.arange(3)[None, :]) % 3
+    return np.take_along_axis(s, idx, axis=1)
+
+
+def rasterize_polygon(points: np.ndarray, max_x: int, max_y: int):
+    """Scanline rasterization of one projected triangle with linearly
+    interpolated values; yields (x, y, value) arrays.
+
+    points: (3, 3) rows (x, y, value); follows the reference's iterator
+    (output.rs:107-254): vertices sorted by y, rows floor(y0)..ceil(y2+1),
+    the 'start' edge a->b (or b->c past b, or when b-c is horizontal-ish),
+    the 'end' edge a->c, inclusive [0,1] coverage test per pixel.
+    """
+    pts = points[np.argsort(points[:, 1], kind="stable")]
+    a, b, c = pts
+    eps = np.finfo(np.float64).eps
+    y_min = int(np.clip(np.floor(a[1]), 0, max_y))
+    y_max = int(np.clip(np.ceil(c[1] + 1.0), 0, max_y))
+    out_x, out_y, out_v = [], [], []
+    for y in range(y_min, y_max):
+        fy = float(y)
+        if fy < a[1] or fy > c[1]:
+            continue
+        bc_dx = b[0] - c[0]
+        degenerate_bc = abs((b[1] - c[1]) / bc_dx) < eps if bc_dx != 0 else False
+        if fy < b[1] or degenerate_bc:
+            denom = b[1] - a[1]
+            coeff = (fy - a[1]) / denom if denom != 0 else np.inf
+            start_x = a[0] * (1.0 - coeff) + b[0] * coeff
+            start_v = pts[0, 2] * (1.0 - coeff) + pts[1, 2] * coeff
+        else:
+            denom = c[1] - b[1]
+            coeff = (fy - b[1]) / denom if denom != 0 else np.inf
+            start_x = b[0] * (1.0 - coeff) + c[0] * coeff
+            start_v = pts[1, 2] * (1.0 - coeff) + pts[2, 2] * coeff
+        denom = c[1] - a[1]
+        coeff = (fy - a[1]) / denom if denom != 0 else np.inf
+        end_x = a[0] * (1.0 - coeff) + c[0] * coeff
+        end_v = pts[0, 2] * (1.0 - coeff) + pts[2, 2] * coeff
+
+        if not (np.isfinite(start_x) and np.isfinite(end_x)):
+            continue
+        if start_x > end_x:
+            start_x, end_x = end_x, start_x
+            start_v, end_v = end_v, start_v
+        x_lo = int(np.clip(np.floor(start_x), 0, max_x))
+        x_hi = int(np.clip(np.ceil(end_x + 1.0), 0, max_x))
+        if x_hi <= x_lo:
+            continue
+        xs = np.arange(x_lo, x_hi, dtype=np.float64)
+        span = end_x - start_x
+        if span == 0:
+            x_c = np.where(xs == start_x, 0.0, np.inf)
+        else:
+            x_c = (xs - start_x) / span
+        inside = (x_c >= 0.0) & (x_c <= 1.0)
+        if not inside.any():
+            continue
+        xs = xs[inside]
+        vals = start_v * (1.0 - x_c[inside]) + x_c[inside] * end_v
+        out_x.append(xs.astype(np.int64))
+        out_y.append(np.full(len(xs), y, dtype=np.int64))
+        out_v.append(vals)
+    if not out_x:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.float64),
+        )
+    return np.concatenate(out_x), np.concatenate(out_y), np.concatenate(out_v)
+
+
+def _depth_buffer(surface: Surface, camera_j: int, image_size) -> np.ndarray | None:
+    """Nearest-point z-buffer for one camera (DepthBuffer::new,
+    output.rs:261-318). Returns (H, W) float64 with +inf for empty."""
+    visible = surface.track_visible(camera_j)
+    proj = surface.project_points(camera_j)
+    depth = surface.point_depths(camera_j)
+    (rx0, rx1), (ry0, ry1) = img_range(image_size)
+    ok = (
+        visible
+        & (proj[:, 0] > rx0)
+        & (proj[:, 0] < rx1)
+        & (proj[:, 1] > ry0)
+        & (proj[:, 1] < ry1)
+    )
+    if not ok.any():
+        return None
+    px = proj[ok, 0]
+    py = proj[ok, 1]
+    pz = depth[ok]
+    w = int(np.ceil(px.max())) + 1
+    h = int(np.ceil(py.max())) + 1
+    buf = np.full((h, w), np.inf)
+    ix = np.clip(np.round(px).astype(np.int64), 0, w - 1)
+    iy = np.clip(np.round(py).astype(np.int64), 0, h - 1)
+    np.minimum.at(buf, (iy, ix), pz)
+    return buf
+
+
+def _polygon_obstructs(buf, proj, depth, polys) -> np.ndarray:
+    """Vector of bools: polygon hides a nearer known point in this view
+    (polygon_obstructs, output.rs:320-354)."""
+    try:
+        from cybervision_tpu.native import polygons_obstruct as native_obstruct
+    except Exception:
+        native_obstruct = None
+    h, w = buf.shape
+    eps = np.finfo(np.float64).eps
+    if native_obstruct is not None:
+        return native_obstruct(buf, proj, depth, polys)
+    out = np.zeros(len(polys), bool)
+    for i, tri in enumerate(polys):
+        pts = np.stack(
+            [np.concatenate([proj[v], [depth[v]]]) for v in tri], axis=0
+        )
+        xs, ys, vals = rasterize_polygon(pts, w, h)
+        if len(xs) == 0:
+            continue
+        pd = buf[ys, xs]
+        out[i] = bool(np.any(np.isfinite(pd) & (pd - vals > eps)))
+    return out
+
+
+@dataclasses.dataclass
+class Mesh:
+    surface: Surface
+    polygons: np.ndarray  # (M, 3) int32 track indices, canonical rotation
+    polygon_cameras: np.ndarray  # (M,) int32
+
+
+def build_mesh(
+    surface: Surface,
+    image_dimensions: list[tuple[int, int]],
+    interpolation: InterpolationMode,
+    progress=None,
+) -> Mesh:
+    """Mesh::create (output.rs:363-519)."""
+    if interpolation != InterpolationMode.DELAUNAY or surface.n_points == 0:
+        return Mesh(
+            surface,
+            np.zeros((0, 3), np.int32),
+            np.zeros((0,), np.int32),
+        )
+
+    all_polys = []
+    all_cams = []
+    n_cams = surface.n_cameras
+    for camera_i in range(n_cams):
+        visible = surface.track_visible(camera_i)
+        proj = surface.project_points(camera_i)
+        (rx0, rx1), (ry0, ry1) = img_range(image_dimensions[camera_i])
+        ok = (
+            visible
+            & (proj[:, 0] > rx0)
+            & (proj[:, 0] < rx1)
+            & (proj[:, 1] > ry0)
+            & (proj[:, 1] < ry1)
+        )
+        track_idx = np.nonzero(ok)[0]
+        if len(track_idx) < 3:
+            continue
+        try:
+            tri = Delaunay(proj[ok])
+        except QhullError:
+            continue
+        polys = canonical_polygons(track_idx[tri.simplices].astype(np.int32))
+
+        # Occlusion culling against every other camera
+        # (output.rs:457-508). Identical affine cameras still cull
+        # polygons spanning depth discontinuities.
+        keep = np.ones(len(polys), bool)
+        for camera_j in range(n_cams):
+            if camera_j == camera_i or not keep.any():
+                continue
+            buf = _depth_buffer(surface, camera_j, image_dimensions[camera_j])
+            if buf is None:
+                continue
+            proj_j = surface.project_points(camera_j)
+            depth_j = surface.point_depths(camera_j)
+            sub = polys[keep]
+            obstructs = _polygon_obstructs(buf, proj_j, depth_j, sub)
+            k = keep.copy()
+            k[np.nonzero(keep)[0][obstructs]] = False
+            keep = k
+        polys = polys[keep]
+        all_polys.append(polys)
+        all_cams.append(np.full(len(polys), camera_i, np.int32))
+        if progress is not None:
+            progress.report_status(0.9 * (camera_i + 1) / max(n_cams, 1))
+
+    if not all_polys:
+        return Mesh(surface, np.zeros((0, 3), np.int32), np.zeros((0,), np.int32))
+
+    polys = np.concatenate(all_polys)
+    cams = np.concatenate(all_cams)
+    # Dedup by vertex triple, keeping the first camera (output.rs:515-516),
+    # then group by camera for the OBJ material switcher (output.rs:384).
+    order = np.lexsort((polys[:, 2], polys[:, 1], polys[:, 0]))
+    polys = polys[order]
+    cams = cams[order]
+    uniq = np.ones(len(polys), bool)
+    uniq[1:] = np.any(polys[1:] != polys[:-1], axis=1)
+    polys = polys[uniq]
+    cams = cams[uniq]
+    order = np.argsort(cams, kind="stable")
+    return Mesh(surface, polys[order], cams[order])

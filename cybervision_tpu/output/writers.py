@@ -1,0 +1,260 @@
+"""Mesh and depth-map writers: PLY, OBJ (+MTL/textures), PNG/JPEG.
+
+Reference (output.rs:567-1229): writer dispatch by extension; PLY as
+binary big-endian doubles with optional uchar vertex colors and reversed
+faces; OBJ with v/vt/f lines, per-camera usemtl and a generated .mtl plus
+texture images; image output projects all points into the primary camera,
+z-buffers a point splat, fills polygons by scanline interpolation,
+normalizes, and applies the (reversed) viridis colormap.
+
+Vertex serialization is numpy-vectorized (big-endian byte packing for PLY,
+batched text formatting for OBJ); the C++ fast path in
+cybervision_tpu.native takes over OBJ face/vertex formatting for large
+meshes when built.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from cybervision_tpu.config import InterpolationMode, MeshMode
+from cybervision_tpu.ops.surface import MISSING, Surface
+from cybervision_tpu.output.colormap import map_depth
+from cybervision_tpu.output.meshing import (
+    Mesh,
+    build_mesh,
+    img_range,
+    rasterize_polygon,
+)
+
+
+def _vertex_colors(surface: Surface, images: list[np.ndarray]) -> np.ndarray:
+    """Per-track RGB from the first image where the track is visible
+    (output.rs:712-729). Coordinates clamp to the image instead of the
+    reference's skip-on-out-of-bounds (which would emit a corrupt PLY)."""
+    n = surface.n_points
+    colors = np.zeros((n, 3), np.uint8)
+    filled = np.zeros(n, bool)
+    for i, img in enumerate(images):
+        vis = surface.track_visible(i) & ~filled
+        if not vis.any():
+            continue
+        px = np.clip(surface.tracks[vis, i, 0], 0, img.shape[1] - 1)
+        py = np.clip(surface.tracks[vis, i, 1], 0, img.shape[0] - 1)
+        colors[vis] = img[py, px]
+        filled |= vis
+    return colors
+
+
+def _scaled_vertices(surface: Surface, out_scale) -> np.ndarray:
+    """(x*s0, -y*s1, z*s2) (output.rs:738-742)."""
+    p = surface.points3d
+    return np.stack(
+        [p[:, 0] * out_scale[0], -p[:, 1] * out_scale[1], p[:, 2] * out_scale[2]],
+        axis=1,
+    )
+
+
+def write_ply(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
+    """Binary big-endian PLY (output.rs:686-772)."""
+    surface = mesh.surface
+    with_color = mesh_mode == MeshMode.VERTEX_COLORS
+    header = [
+        "ply",
+        "format binary_big_endian 1.0",
+        "comment Cybervision 3D surface",
+        f"element vertex {surface.n_points}",
+        "property double x",
+        "property double y",
+        "property double z",
+    ]
+    if with_color:
+        header += ["property uchar red", "property uchar green", "property uchar blue"]
+    header += [
+        f"element face {len(mesh.polygons)}",
+        "property list uchar int vertex_indices",
+        "end_header",
+    ]
+
+    verts = _scaled_vertices(surface, out_scale).astype(">f8")
+    with open(path, "wb") as fh:
+        fh.write(("\n".join(header) + "\n").encode())
+        if with_color:
+            colors = _vertex_colors(surface, images)
+            rec = np.zeros(surface.n_points, dtype=[("xyz", ">f8", 3), ("rgb", "u1", 3)])
+            rec["xyz"] = verts
+            rec["rgb"] = colors
+            fh.write(rec.tobytes())
+        else:
+            fh.write(verts.tobytes())
+        if len(mesh.polygons):
+            # Faces reversed: (3, v2, v1, v0) (output.rs:757-761).
+            faces = np.zeros(
+                len(mesh.polygons), dtype=[("n", "u1"), ("idx", ">i4", 3)]
+            )
+            faces["n"] = 3
+            faces["idx"] = mesh.polygons[:, ::-1].astype(np.int32)
+            fh.write(faces.tobytes())
+
+
+def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
+    """Wavefront OBJ (+ .mtl and texture images for texture mode)
+    (output.rs:774-1007)."""
+    surface = mesh.surface
+    stem = os.path.splitext(os.path.basename(path))[0]
+    dirname = os.path.dirname(path) or "."
+    textured = mesh_mode == MeshMode.TEXTURE_COORDINATES
+
+    try:
+        from cybervision_tpu.native import format_obj_vertices as native_fmt
+    except Exception:
+        native_fmt = None
+
+    with open(path, "w") as fh:
+        if textured:
+            fh.write(f"mtllib {stem}.mtl\n")
+        verts = _scaled_vertices(surface, out_scale)
+        if mesh_mode == MeshMode.VERTEX_COLORS:
+            colors = _vertex_colors(surface, images).astype(np.float64) / 255.0
+            rows = np.concatenate([verts, colors], axis=1)
+            fh.writelines(
+                f"v {r[0]} {r[1]} {r[2]} {r[3]} {r[4]} {r[5]}\n" for r in rows
+            )
+        else:
+            if native_fmt is not None:
+                fh.write(native_fmt(verts))
+            else:
+                fh.writelines(f"v {r[0]} {r[1]} {r[2]}\n" for r in verts)
+
+        # Texture coordinates: one vt per visible projection, tracked by a
+        # per-track offset index (output.rs:938-969).
+        uv_index = None
+        if textured:
+            vis = surface.tracks[:, :, 0] != MISSING  # (N, n_images)
+            counts = vis.sum(axis=1)
+            uv_index = np.concatenate([[0], np.cumsum(counts)])
+            for t in range(surface.n_points):
+                for i in range(surface.n_images):
+                    if vis[t, i]:
+                        img = images[i]
+                        u = surface.tracks[t, i, 0] / img.shape[1]
+                        v = 1.0 - surface.tracks[t, i, 1] / img.shape[0]
+                        fh.write(f"vt {u} {v}\n")
+
+        current_cam = None
+        vis = surface.tracks[:, :, 0] != MISSING
+        vis_cum = np.cumsum(vis, axis=1)  # projections up to and incl. i
+        for poly, cam in zip(mesh.polygons, mesh.polygon_cameras):
+            if textured and cam != current_cam:
+                fh.write(f"usemtl Textured{cam}\n")
+                current_cam = cam
+            if textured:
+                parts = []
+                for vi in poly[::-1]:
+                    uv = (
+                        uv_index[vi]
+                        + int(vis_cum[vi, cam])
+                        - int(vis[vi, cam])
+                        + 1
+                    )
+                    parts.append(f"{vi + 1}/{uv}")
+                fh.write("f " + " ".join(parts) + "\n")
+            else:
+                fh.write(f"f {poly[2] + 1} {poly[1] + 1} {poly[0] + 1}\n")
+
+    if textured:
+        with open(os.path.join(dirname, f"{stem}.mtl"), "w") as fh:
+            for i, img in enumerate(images):
+                name = f"{stem}-{i}.png"
+                fh.write(
+                    f"newmtl Textured{i}\nKa 0.2 0.2 0.2\nKd 0.8 0.8 0.8\n"
+                    f"Ks 1.0 1.0 1.0\nillum 2\nNs 0.000500\n"
+                    f"map_Ka {name}\nmap_Kd {name}\n\n"
+                )
+                Image.fromarray(img).save(os.path.join(dirname, name))
+
+
+def write_depth_image(
+    path, mesh: Mesh, image_dimensions, project_to_image: int, z_sign: float
+):
+    """Depth-map image writer (output.rs:1009-1144): project every point
+    into the primary camera, z-buffer splat keeping the larger depth,
+    polygon-interpolated fill, normalize, reversed-viridis colormap."""
+    surface = mesh.surface
+    proj = surface.project_points(project_to_image)
+    depth = surface.point_depths(project_to_image) * z_sign
+    (rx0, rx1), (ry0, ry1) = img_range(image_dimensions[project_to_image])
+    ok = (proj[:, 0] > rx0) & (proj[:, 0] < rx1) & (proj[:, 1] > ry0) & (proj[:, 1] < ry1)
+    if not ok.any():
+        raise ValueError("No point projections found")
+    min_x = np.floor(proj[ok, 0].min())
+    max_x = np.ceil(proj[ok, 0].max())
+    min_y = np.floor(proj[ok, 1].min())
+    max_y = np.ceil(proj[ok, 1].max())
+    width = int(max_x - min_x) + 1
+    height = int(max_y - min_y) + 1
+
+    out = np.full((height, width), -np.inf)
+    px = proj[:, 0] - min_x
+    py = proj[:, 1] - min_y
+    ix = np.clip(np.round(px[ok]).astype(np.int64), 0, width - 1)
+    iy = np.clip(np.round(py[ok]).astype(np.int64), 0, height - 1)
+    # The reference keeps the larger depth on splat collisions
+    # (output.rs:1061-1069).
+    np.maximum.at(out, (iy, ix), depth[ok])
+
+    # Polygon fill (output.rs:1088-1115).
+    for poly in mesh.polygons:
+        if not ok[poly].all():
+            continue
+        pts = np.stack(
+            [[px[v], py[v], depth[v]] for v in poly],
+            axis=0,
+        )
+        xs, ys, vals = rasterize_polygon(pts, width - 1, height - 1)
+        if len(xs) == 0:
+            continue
+        np.maximum.at(out, (ys, xs), vals)
+
+    filled = np.isfinite(out)
+    lo = out[filled].min()
+    hi = out[filled].max()
+    norm = (out - lo) / max(hi - lo, np.finfo(np.float64).eps)
+    rgb = map_depth(np.clip(norm, 0.0, 1.0))
+    rgba = np.zeros((height, width, 4), np.uint8)
+    rgba[:, :, :3] = rgb
+    rgba[:, :, 3] = np.where(filled, 255, 0)
+    img = Image.fromarray(rgba, "RGBA")
+    if path.lower().endswith((".jpg", ".jpeg")):
+        img = img.convert("RGB")
+    img.save(path)
+
+
+def output_surface(
+    surface: Surface,
+    out_scale,
+    project_to_image: int,
+    images: list[np.ndarray],
+    path: str,
+    interpolation: InterpolationMode,
+    mesh_mode: MeshMode,
+    progress=None,
+):
+    """Writer facade (output.rs:567-611): dispatch on extension, build the
+    mesh, emit."""
+    image_dimensions = [(img.shape[1], img.shape[0]) for img in images]
+    mesh = build_mesh(surface, image_dimensions, interpolation, progress)
+    lower = path.lower()
+    if lower.endswith(".obj"):
+        write_obj(path, mesh, images, mesh_mode, out_scale)
+    elif lower.endswith(".ply"):
+        write_ply(path, mesh, images, mesh_mode, out_scale)
+    else:
+        write_depth_image(
+            path, mesh, image_dimensions, project_to_image, float(np.sign(out_scale[2]))
+        )
+    if progress is not None:
+        progress.report_status(1.0)

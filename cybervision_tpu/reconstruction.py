@@ -1,0 +1,221 @@
+"""Pipeline orchestrator: images -> sparse features -> F-matrix -> dense
+correlation -> triangulation -> surface output.
+
+Mirrors the reference driver (reconstruction.rs:198-321): all-pairs sparse
+matching, camera-pose recovery (perspective), dense correlation of linked
+pairs with per-image track merging, final triangulation + bundle
+adjustment, and surface output — with the reference's per-phase
+wall-clock prints for drop-in comparability.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import numpy as np
+
+from cybervision_tpu.config import ProjectionMode, ReconstructionConfig
+from cybervision_tpu.images import SourceImage
+from cybervision_tpu.ops import correlation, epipolar, matching
+from cybervision_tpu.ops.affine_triangulation import triangulate_affine
+from cybervision_tpu.ops.features import extract_keypoints_pyramid
+from cybervision_tpu.output import output_surface
+from cybervision_tpu.utils.progress import PhaseTimer, ProgressBar
+
+
+@dataclasses.dataclass
+class PairResult:
+    f: np.ndarray | None
+    inliers: np.ndarray | None
+
+
+class Reconstruction:
+    def __init__(self, filenames: list[str], out_filename: str,
+                 cfg: ReconstructionConfig, quiet: bool = False):
+        if len(filenames) < 2:
+            raise ValueError("need at least 2 source images")
+        self.filenames = filenames
+        self.out_filename = out_filename
+        self.cfg = cfg
+        self.quiet = quiet
+        self.images: dict[int, SourceImage] = {}
+
+    # -- image access -------------------------------------------------
+    def image(self, i: int) -> SourceImage:
+        if i not in self.images:
+            self.images[i] = SourceImage.load(self.filenames[i])
+        return self.images[i]
+
+    def _print(self, *args):
+        if not self.quiet:
+            print(*args)
+
+    # -- sparse phase ---------------------------------------------------
+    def match_pair(self, i: int, j: int) -> np.ndarray:
+        """Multi-scale ORB + matching (reconstruction.rs:400-500)."""
+        img1, img2 = self.image(i), self.image(j)
+        with PhaseTimer("Extracted feature points", self.quiet):
+            pts1, desc1 = extract_keypoints_pyramid(img1.img, self.cfg.orb)
+            pts2, desc2 = extract_keypoints_pyramid(img2.img, self.cfg.orb)
+        self._print(f"Image {img1.filename} has {len(pts1)} feature points")
+        self._print(f"Image {img2.filename} has {len(pts2)} feature points")
+
+        with PhaseTimer("Matched keypoints", self.quiet):
+            threshold = self.cfg.matching.threshold(self.cfg.projection)
+            matches = matching.match_keypoints(pts1, desc1, pts2, desc2, threshold)
+        self._print(f"Found {len(matches)} matches")
+        return matches
+
+    def find_f(self, i: int, j: int, matches: np.ndarray) -> epipolar.FundamentalMatrixResult:
+        img1, img2 = self.image(i), self.image(j)
+        max_dim = float(max(*img1.dimensions, *img2.dimensions))
+        pb = ProgressBar(show_message=True) if not self.quiet else None
+        with PhaseTimer("Completed RANSAC fitting", self.quiet):
+            result = epipolar.find_fundamental_matrix(
+                matches, self.cfg.projection, max_dim, self.cfg.ransac, pb
+            )
+        if pb:
+            pb.finish()
+        self._print(f"Kept {len(result.inliers)} matches")
+        return result
+
+    def reconstruct_sparse(self, i: int, j: int) -> PairResult:
+        img1, img2 = self.image(i), self.image(j)
+        self._print(f"Processing images {self.filenames[i]} and {self.filenames[j]}")
+        self._print(
+            f"Image {self.filenames[i]} has scale width {img1.scale[0]!r},"
+            f" height {img1.scale[1]!r}"
+        )
+        if img1.tilt_angle is not None and img2.tilt_angle is not None:
+            self._print(f"Relative tilt angle is {img2.tilt_angle - img1.tilt_angle}")
+        matches = self.match_pair(i, j)
+        try:
+            result = self.find_f(i, j, matches)
+        except ValueError as err:
+            print(f"Failed to complete RANSAC task: {err}", file=sys.stderr)
+            return PairResult(None, None)
+        return PairResult(result.f, result.inliers)
+
+    # -- dense phase ----------------------------------------------------
+    def correlate_pair(self, i: int, j: int, f: np.ndarray) -> np.ndarray:
+        img1, img2 = self.image(i), self.image(j)
+        self._print(
+            f"Performing dense correlation of images {self.filenames[i]}"
+            f" and {self.filenames[j]}"
+        )
+        self._print("Selected hardware: TPU (XLA)")
+        pb = ProgressBar() if not self.quiet else None
+        with PhaseTimer("Completed dense correlation", self.quiet):
+            out = correlation.correlate_images(
+                img1, img2, f, self.cfg.projection, self.cfg.correlation, pb
+            )
+        if pb:
+            pb.finish()
+        return out
+
+    # -- full pipelines ---------------------------------------------------
+    def run(self) -> None:
+        with PhaseTimer("Completed reconstruction", self.quiet):
+            if self.cfg.projection == ProjectionMode.AFFINE:
+                self._run_affine()
+            else:
+                self._run_perspective()
+
+    def _out_scale(self) -> tuple[float, float, float]:
+        """Depth scale for writers (reconstruction.rs:223-233)."""
+        img1 = self.image(0)
+        s = (1.0, 1.0, float(self.cfg.scale))
+        if self.cfg.projection == ProjectionMode.AFFINE:
+            # Reset xy to 1.0 (viewers dislike tiny SEM units); fold the
+            # average metadata pixel pitch into z.
+            return (s[0], s[1], s[2] * (s[0] + s[1]) / 2.0)
+        return s
+
+    def _run_affine(self) -> None:
+        pair = self.reconstruct_sparse(0, 1)
+        if pair.f is None:
+            raise RuntimeError("No matching image pairs found")
+        correlated = self.correlate_pair(0, 1, pair.f)
+
+        with PhaseTimer("Completed triangulation post-processing", self.quiet):
+            surface = triangulate_affine(correlated)
+            if self.cfg.max_points is not None and surface.n_points > self.cfg.max_points:
+                keep = np.random.RandomState(self.cfg.ransac.seed).choice(
+                    surface.n_points, self.cfg.max_points, replace=False
+                )
+                surface.points3d = surface.points3d[keep]
+                surface.tracks = surface.tracks[keep]
+
+        self._write_output(surface, [0, 1])
+
+    def _run_perspective(self) -> None:
+        from cybervision_tpu.ops import sfm
+
+        n = len(self.filenames)
+        pipeline = sfm.SfmPipeline(
+            [self.image(i) for i in range(n)],
+            self.cfg,
+            quiet=self.quiet,
+        )
+        # All-pairs sparse matching (reconstruction.rs:261-277).
+        for i in range(n - 1):
+            for j in range(i + 1, n):
+                pair = self.reconstruct_sparse(i, j)
+                if pair.f is not None:
+                    pipeline.add_sparse_pair(i, j, pair.f, pair.inliers)
+
+        linked = pipeline.recover_camera_poses()
+        if not linked:
+            raise RuntimeError("No matching image pairs found")
+
+        # Dense correlation of linked pairs + per-image track merging
+        # (reconstruction.rs:668-730).
+        for i in range(n - 1):
+            if i not in linked:
+                continue
+            for j in range(i + 1, n):
+                if j not in linked:
+                    continue
+                f = pipeline.pair_f(i, j)
+                if f is None:
+                    continue
+                correlated = self.correlate_pair(i, j, f)
+                with PhaseTimer("Added dense image pair", self.quiet):
+                    pipeline.add_dense_pair(i, j, correlated)
+            with PhaseTimer(
+                f"Merged tracks for {self.filenames[i]}", self.quiet
+            ):
+                pipeline.merge_tracks(i)
+
+        with PhaseTimer("Completed triangulation post-processing", self.quiet):
+            surface = pipeline.complete(
+                max_points=self.cfg.max_points,
+                bundle_adjustment=self.cfg.bundle_adjustment,
+            )
+
+        self._write_output(surface, linked)
+
+    def _write_output(self, surface, linked_images: list[int]) -> None:
+        with PhaseTimer("Saved result", self.quiet):
+            images_rgb = [
+                SourceImage.load_rgb(self.filenames[i]) for i in linked_images
+            ]
+            output_surface(
+                surface,
+                self._out_scale(),
+                0,  # best/first linked image (reconstruction.rs:768)
+                images_rgb,
+                self.out_filename,
+                self.cfg.interpolation,
+                self.cfg.mesh,
+            )
+
+
+def reconstruct(
+    filenames: list[str],
+    out_filename: str,
+    cfg: ReconstructionConfig = ReconstructionConfig(),
+    quiet: bool = False,
+) -> None:
+    Reconstruction(filenames, out_filename, cfg, quiet).run()
