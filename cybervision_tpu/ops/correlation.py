@@ -389,12 +389,28 @@ def _corridor_ranges(
 
 
 # ---------------------------------------------------------------------------
-# Refine pass: hypothesis sweep with warp + box filter + argmax carry
+# Refine pass: rectified-base hypothesis sweep (gather-free inner loop)
+
+
+def _shift(x, u, axis):
+    """x shifted so out(p) = x(p + u e_axis), zero-filled at edges; u static."""
+    if u == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    if u > 0:
+        pad[axis] = (0, u)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(u, None)
+    else:
+        pad[axis] = (-u, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, u)
+    return jnp.pad(x, pad)[tuple(sl)]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("corridor_size", "window", "chunk"),
+    static_argnames=("corridor_size", "window"),
 )
 def refine_pass(
     img1: jnp.ndarray,
@@ -408,19 +424,31 @@ def refine_pass(
     extend_range: float,
     corridor_size: int,
     window: int,
-    chunk: int = 32,
+    chunk: int = 32,  # kept for API compatibility; sweep is unrolled
 ) -> CorrelationState:
-    """One refine-scale sweep. `window` is the static corridor-length
-    bucket; per-pixel lengths beyond it are truncated (callers pick the
-    bucket from the observed maximum so truncation only happens when the
-    bucket list is exhausted)."""
+    """One refine-scale sweep. `window` is the static corridor half-width
+    bucket; per-pixel ranges beyond it are truncated (callers pick the
+    bucket from the observed maximum).
+
+    TPU structure (XLA:TPU gathers cost ~15ns/element, rolls are ~free):
+    gather the *base* warp W0_o(p) = img2[candidate at center(p), stripe o]
+    once per lateral stripe (2*cs+1 gathers total), then every corridor
+    hypothesis u is a static shift of W0 along the dominant axis — because
+    `center` tracks the epipolar-projected pixel position, center(p+u*e)
+    ~= center(p)+u, so the shifted base IS the u-offset candidate (the
+    recorded positions use the shifted exact candidate fields, so only the
+    sampled intensities — not the geometry — carry the approximation).
+    NCC normalizes against the warp's own box statistics (Cauchy-Schwarz
+    bounds it by 1 even where the field bends); the reference's
+    sigma2-at-q >= min_stdev test (mod.rs:439) becomes sigma_W >= min_stdev
+    on the same samples.
+    """
     h1, w1 = img1.shape
     h2, w2 = img2.shape
     img1 = img1.astype(jnp.float32)
     img2 = img2.astype(jnp.float32)
 
     avg1, sd1, ok1 = window_stats(img1)
-    avg2, sd2, ok2 = window_stats(img2)
     ep = epipolar_fields(f, h1, w1, scale)
     center, start, end, has = _corridor_ranges(
         ep, prev, h1, w1, h2, w2, scale, min_range, extend_range
@@ -430,94 +458,112 @@ def refine_pass(
     vert = ep["vert"]
     coeff = ep["coeff"]
     add = ep["add"]
-    q2_ok = ok2 & (sd2 >= min_stdev)
 
-    # Hypothesis axis: lateral stripe o (outer, matching the reference's
-    # walk order mod.rs:372-381) x center-relative corridor offset u
-    # (inner, ascending to keep the walk's first-max tie behavior).
+    # Base candidate (corridor index = center) per pixel and stripe.
+    c_f = center.astype(jnp.float32)
+    off0 = jnp.floor(coeff * c_f + add).astype(jnp.int32)
+    base_x = jnp.where(vert, off0, center)
+    base_y = jnp.where(vert, center, off0)
+
     n_o = 2 * corridor_size + 1
-    n_hyp = n_o * (2 * window + 1)
-    offsets_o = jnp.repeat(
-        jnp.arange(-corridor_size, corridor_size + 1, dtype=jnp.int32),
-        2 * window + 1,
-    )
-    offsets_r = jnp.tile(
-        jnp.arange(-window, window + 1, dtype=jnp.int32), n_o
-    )
+    w0s, qxs, qys, inbs, sws, swws = [], [], [], [], [], []
+    for o in range(-corridor_size, corridor_size + 1):
+        qx = base_x + jnp.where(vert, o, 0)
+        qy = base_y + jnp.where(vert, 0, o)
+        inb = (qx >= KS) & (qx < w2 - KS) & (qy >= KS) & (qy < h2 - KS)
+        w0 = img2[jnp.clip(qy, 0, h2 - 1), jnp.clip(qx, 0, w2 - 1)]
+        w0s.append(w0)
+        qxs.append(qx)
+        qys.append(qy)
+        inbs.append(inb)
+        sws.append(_box11(w0))
+        swws.append(_box11(w0 * w0))
 
-    def hyp_candidates(o, u):
-        """Candidate (x2, y2, in_corridor) for every pixel."""
-        idx = center + u
-        i = idx.astype(jnp.float32)
-        off = jnp.floor(coeff * i + add).astype(jnp.int32) + o
-        x2 = jnp.where(vert, off, idx)
-        y2 = jnp.where(vert, idx, off)
-        in_len = (idx >= start) & (idx < end)
-        return x2, y2, in_len
+    ys_idx = jnp.arange(h1, dtype=jnp.int32)[:, None]
+    xs_idx = jnp.arange(w1, dtype=jnp.int32)[None, :]
+    inv_sd1 = 1.0 / jnp.maximum(sd1, 1e-12)
 
-    pad_h = (-n_hyp) % chunk
-    total = n_hyp + pad_h
-    o_pad = jnp.pad(offsets_o, (0, pad_h))
-    r_pad = jnp.pad(offsets_r, (0, pad_h), constant_values=10**6)
-    o_chunks = o_pad.reshape(total // chunk, chunk)
-    r_chunks = r_pad.reshape(total // chunk, chunk)
+    # The u sweep runs as a lax.scan with dynamic slices of window-padded
+    # stacks (a compact program XLA compiles once; an unrolled sweep
+    # produces multi-thousand-op graphs). Stripe-major, offset-minor — the
+    # reference's walk order (mod.rs:372-381); strictly-greater updates
+    # keep the first maximum.
+    pad_w = window
+    center_f32 = center.astype(jnp.float32)
 
-    prod_base = img1  # I1 for the cross-term product
-
-    def sweep_chunk(carry, oc_rc):
-        best_corr, best_x, best_y = carry
-        oc, rc = oc_rc  # (chunk,)
-
-        x2, y2, in_len = jax.vmap(hyp_candidates)(oc, rc)  # (chunk, H, W)
-        in_b = (x2 >= KS) & (x2 < w2 - KS) & (y2 >= KS) & (y2 < h2 - KS)
-        xc = jnp.clip(x2, 0, w2 - 1)
-        yc = jnp.clip(y2, 0, h2 - 1)
-
-        warp = img2[yc, xc]  # (chunk, H, W) gathers
-        q_okg = q2_ok[yc, xc]
-
-        # NCC against the warped image's own window statistics: exact when
-        # the hypothesis field is locally a translation, and bounded by 1
-        # (Cauchy-Schwarz) even where it is not — normalizing with img2's
-        # stats at q instead would let the window-mean mismatch of a
-        # staircase warp inflate scores far past 1.
-        cross = _box11(prod_base[None] * warp)  # (chunk, H, W)
-        s_w = _box11(warp)
-        s_ww = _box11(warp * warp)
-        avg_w = s_w / KPC
-        var_w = jnp.maximum(s_ww / KPC - avg_w * avg_w, 0.0)
-        sd_w = jnp.sqrt(var_w)
-        corr = (cross / KPC - avg1[None] * avg_w) / (
-            jnp.maximum(sd1, 1e-12)[None] * jnp.maximum(sd_w, 1e-12)
-        )
-
-        ok = in_b & in_len & q_okg & p_ok[None] & (corr >= threshold)
-        corr = jnp.where(ok, corr, -jnp.inf)
-
-        # First maximum within the chunk (hypothesis order preserved).
-        idx = jnp.argmax(corr, axis=0)  # (H, W)
-        c = jnp.take_along_axis(corr, idx[None], axis=0)[0]
-        cx = jnp.take_along_axis(x2, idx[None], axis=0)[0]
-        cy = jnp.take_along_axis(y2, idx[None], axis=0)[0]
-
-        upd = c > best_corr
-        return (
-            (
-                jnp.where(upd, c, best_corr),
-                jnp.where(upd, cx, best_x),
-                jnp.where(upd, cy, best_y),
-            ),
-            None,
-        )
-
-    init = (
+    best = (
         jnp.full((h1, w1), -jnp.inf, jnp.float32),
         jnp.zeros((h1, w1), jnp.int32),
         jnp.zeros((h1, w1), jnp.int32),
     )
-    (best_corr, best_x, best_y), _ = jax.lax.scan(
-        sweep_chunk, init, (o_chunks, r_chunks)
-    )
+    us = jnp.arange(-window, window + 1, dtype=jnp.int32)
+
+    for oi in range(n_o):
+        stacked = jnp.stack(
+            [
+                w0s[oi],
+                sws[oi],
+                swws[oi],
+                qxs[oi].astype(jnp.float32),
+                qys[oi].astype(jnp.float32),
+                inbs[oi].astype(jnp.float32),
+                center_f32,
+            ]
+        )
+        pstack = jnp.pad(
+            stacked, ((0, 0), (pad_w, pad_w), (pad_w, pad_w))
+        )
+
+        def step(carry, u, pstack=pstack):
+            best_corr, best_x, best_y = carry
+            # out(p) = x(p + u e_axis): slice at row offset pad+u or col
+            # offset pad+u, selected per pixel by the dominant axis.
+            zero = jnp.int32(0)
+            pw = jnp.int32(pad_w)
+            sl_y = jax.lax.dynamic_slice(
+                pstack, (zero, pw + u, pw), (7, h1, w1)
+            )
+            sl_x = jax.lax.dynamic_slice(
+                pstack, (zero, pw, pw + u), (7, h1, w1)
+            )
+            sl = jnp.where(vert[None], sl_y, sl_x)
+            wr, swr, swwr, qxf, qyf, inbr, idx_eval = (
+                sl[0], sl[1], sl[2], sl[3], sl[4], sl[5], sl[6]
+            )
+
+            cross = _box11(img1 * wr)
+            avg_w = swr / KPC
+            var_w = jnp.maximum(swwr / KPC - avg_w * avg_w, 0.0)
+            sd_w = jnp.sqrt(var_w)
+            corr = (cross / KPC - avg1 * avg_w) * inv_sd1 / jnp.maximum(
+                sd_w, 1e-12
+            )
+
+            src_ok = jnp.where(
+                vert,
+                (ys_idx + u >= 0) & (ys_idx + u < h1),
+                (xs_idx + u >= 0) & (xs_idx + u < w1),
+            )
+            ok = (
+                src_ok
+                & (inbr > 0.5)
+                & (idx_eval >= start)
+                & (idx_eval < end)
+                & p_ok
+                & (sd_w >= min_stdev)
+                & (corr >= threshold)
+            )
+            corr = jnp.where(ok, corr, -jnp.inf)
+            upd = corr > best_corr
+            return (
+                jnp.where(upd, corr, best_corr),
+                jnp.where(upd, qxf.astype(jnp.int32), best_x),
+                jnp.where(upd, qyf.astype(jnp.int32), best_y),
+            ), None
+
+        best, _ = jax.lax.scan(step, best, us)
+
+    best_corr, best_x, best_y = best
 
     inv_s = jnp.round(1.0 / scale).astype(jnp.int32)
     valid = jnp.isfinite(best_corr)
@@ -556,17 +602,91 @@ def max_corridor_halfwidth(
 # Cross-check filter
 
 
+def _dilate9(x, reduce_fn, fill):
+    """9x9 window reduce, separable static shifts (edge-filled)."""
+
+    def pass_axis(v, axis):
+        n = v.shape[axis]
+        idx = jnp.arange(n)
+        idx = idx[:, None] if axis == 0 else idx[None, :]
+        out = v
+        for d in range(-4, 5):
+            if d == 0:
+                continue
+            s = _shift(v, d, axis)
+            s = jnp.where((idx + d >= 0) & (idx + d < n), s, fill)
+            out = reduce_fn(out, s)
+        return out
+
+    return pass_axis(pass_axis(x, 0), 1)
+
+
 @jax.jit
 def cross_check(
     state: CorrelationState, reverse: CorrelationState, scale: float
 ) -> CorrelationState:
-    """Mutual-consistency filter (correlation/mod.rs:552-624).
+    """Mutual-consistency filter (correlation/mod.rs:552-624), fast form.
 
-    At full resolution the reference searches +-4*(1/scale) cells around
-    the match and accepts if any reverse match lands within the same
-    radius of the source pixel; grids only hold entries at multiples of
-    1/scale, so this is exactly a +-4 search at the current scale.
+    The reference keeps a forward match m at pixel p iff some reverse cell
+    q within +-4*(1/scale) full-res units of m points back within the same
+    radius of p; grids only hold entries at multiples of 1/scale, so the q
+    window is exactly +-4 cells at the current scale.
+
+    TPU form: precompute per reverse cell the min/max back-pointer bounds
+    over its +-4 window (static-shift dilations), then test the interval
+    overlap with one gather at m. This is a relaxation — the x and y
+    bounds may come from different neighbors, so a few extra matches
+    survive compared to cross_check_exact (used by the parity tests); the
+    survivors are still mutually consistent per axis.
     """
+    h, w = state.corr.shape
+    hr, wr = reverse.corr.shape
+    inv_s = jnp.round(1.0 / scale).astype(jnp.int32)
+    sa = 4 * inv_s  # full-res units
+
+    big = jnp.int32(2**30)
+    rx = jnp.where(reverse.valid, reverse.pos[:, :, 0], big)
+    ry = jnp.where(reverse.valid, reverse.pos[:, :, 1], big)
+    lox = _dilate9(rx, jnp.minimum, big)
+    loy = _dilate9(ry, jnp.minimum, big)
+    rx = jnp.where(reverse.valid, reverse.pos[:, :, 0], -big)
+    ry = jnp.where(reverse.valid, reverse.pos[:, :, 1], -big)
+    hix = _dilate9(rx, jnp.maximum, -big)
+    hiy = _dilate9(ry, jnp.maximum, -big)
+
+    mx = jnp.clip(state.pos[:, :, 0] // inv_s, 0, wr - 1)
+    my = jnp.clip(state.pos[:, :, 1] // inv_s, 0, hr - 1)
+    g_lox = lox[my, mx]
+    g_hix = hix[my, mx]
+    g_loy = loy[my, mx]
+    g_hiy = hiy[my, mx]
+
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    p_fx = xs * inv_s
+    p_fy = ys * inv_s
+    found = (
+        (g_lox < p_fx + sa + 1)
+        & (g_hix >= p_fx - sa)
+        & (g_loy < p_fy + sa + 1)
+        & (g_hiy >= p_fy - sa)
+    )
+
+    keep = state.valid & found
+    return CorrelationState(
+        pos=jnp.where(keep[:, :, None], state.pos, 0),
+        corr=jnp.where(keep, state.corr, -1.0),
+        valid=keep,
+    )
+
+
+@jax.jit
+def cross_check_exact(
+    state: CorrelationState, reverse: CorrelationState, scale: float
+) -> CorrelationState:
+    """Reference-exact mutual-consistency filter (correlation/mod.rs:552-624).
+    One gather per window offset — precise but gather-bound on TPU; used
+    as the oracle-parity variant and available via config."""
     h, w = state.corr.shape
     hr, wr = reverse.corr.shape
     inv_s = jnp.round(1.0 / scale).astype(jnp.int32)

@@ -286,7 +286,8 @@ def test_cross_check_matches_oracle(rng):
         pos=jnp.asarray(rp), corr=jnp.full((hr, wr), 0.9, jnp.float32),
         valid=jnp.asarray(rv),
     )
-    mine = corr.cross_check(state, reverse, scale)
+    mine = corr.cross_check_exact(state, reverse, scale)
+    fast = corr.cross_check(state, reverse, scale)
 
     f_full = _state_to_fullres(state, scale, h * inv_s, w * inv_s)
     r_full = _state_to_fullres(reverse, scale, hr * inv_s, wr * inv_s)
@@ -297,6 +298,12 @@ def test_cross_check_matches_oracle(rng):
         for x in range(w):
             assert mine_v[y, x] == o["valid"][y * inv_s, x * inv_s], (x, y)
     assert bool(mine_v[7, 6]) and bool(mine_v[3, 10])
+    # The fast interval-bound filter is a relaxation: it keeps everything
+    # the exact filter keeps, and only a little more.
+    fast_v = np.asarray(fast.valid)
+    assert (fast_v | ~mine_v).all()  # superset
+    extra = fast_v & ~mine_v
+    assert extra.mean() < 0.25
 
 
 def test_correlate_images_end_to_end(rng):
