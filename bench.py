@@ -1,0 +1,95 @@
+"""Headline benchmark: 1024x1024 SEM stereopair, end-to-end reconstruction.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is wall-clock seconds for the full pipeline (ORB features ->
+Hamming matching -> affine RANSAC -> coarse-to-fine dense NCC correlation
+-> triangulation -> PNG depth map) on a synthetic 1024^2 SEM-like pair,
+with JIT caches warm (one warm-up run at a smaller size first; the
+reference has no JIT). The reference publishes no numbers (BASELINE.md),
+so vs_baseline compares against this repo's north-star target of 2.0 s
+(BASELINE.json): vs_baseline = target / measured (>1 is better than
+target). The dense-correlation throughput in Mpix/s is reported alongside.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+from scipy import ndimage
+
+
+def synth_sem_pair(h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    base = rng.uniform(0, 255, (h, w))
+    base = ndimage.gaussian_filter(base, 1.2)
+    bumps = ndimage.gaussian_filter(rng.uniform(0, 255, (h, w)), 8.0)
+    img1 = base * 0.6 + bumps * 0.4
+    img1 = (img1 - img1.min()) / (img1.max() - img1.min()) * 255.0
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    disparity = 2.0 + 6.0 * (ys / h) ** 2 + 3.0 * np.sin(xs / w * 3.0)
+    img2 = ndimage.map_coordinates(img1, [ys, xs + disparity], order=3, mode="nearest")
+    return np.round(img1).astype(np.uint8), np.round(img2).astype(np.uint8)
+
+
+def run(h, w, out_path, cfg):
+    from PIL import Image
+
+    from cybervision_tpu.reconstruction import Reconstruction
+
+    img1, img2 = synth_sem_pair(h, w)
+    d = os.path.dirname(out_path)
+    p1 = os.path.join(d, "bench_a.png")
+    p2 = os.path.join(d, "bench_b.png")
+    Image.fromarray(img1).save(p1)
+    Image.fromarray(img2).save(p2)
+    rec = Reconstruction([p1, p2], out_path, cfg, quiet=True)
+    t0 = time.time()
+    rec.run()
+    return time.time() - t0
+
+
+def main():
+    import tempfile
+
+    import jax
+
+    # Persist compiled executables across bench runs — first-run compiles
+    # go through the remote TPU compile service (~45 s/program).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from cybervision_tpu.config import (
+        CorrelationConfig,
+        InterpolationMode,
+        ProjectionMode,
+        RansacConfig,
+        ReconstructionConfig,
+    )
+
+    cfg = ReconstructionConfig(
+        projection=ProjectionMode.AFFINE,
+        interpolation=InterpolationMode.NONE,
+        ransac=RansacConfig(),
+        correlation=CorrelationConfig(),
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        # Warm-up at full size: compiles every (shape, bucket) program.
+        run(1024, 1024, os.path.join(td, "warm.png"), cfg)
+        elapsed = run(1024, 1024, os.path.join(td, "out.png"), cfg)
+
+    result = {
+        "metric": "e2e_1024x1024_sem_pair_to_depth_map_seconds",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(2.0 / elapsed, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -109,9 +109,10 @@ def solve_affine_batch(s1: jnp.ndarray, s2: jnp.ndarray, rank_eps: float):
         ],
         axis=1,
     )
-    denom = f[:, 2, 2]
-    valid &= jnp.abs(denom) > 1e-20
-    f = f / jnp.where(valid, denom, 1.0)[:, None, None]
+    # Unlike the reference (fundamentalmatrix.rs:285) F is NOT normalized
+    # by F[2,2]: for ideal SEM geometry (all sampled dy == 0) that entry
+    # is exactly zero and the divide rejects perfect hypotheses. Sampson
+    # scoring is scale-invariant, so the normalization is cosmetic.
     return f, valid
 
 
@@ -326,22 +327,33 @@ def ransac_batch(
 
     Returns (best_f (3,3), best_count, best_error) for the batch.
     """
-    kidx = jax.random.split(key, 1)[0]
-    idx = jax.random.randint(kidx, (batch, n_samples), 0, top_limit)
+    # Minimum-separation sampling (fundamentalmatrix.rs:155-175): any
+    # coordinate axis closer than min_inlier_distance between two sampled
+    # matches disqualifies the pair. Like the reference, conflicting
+    # points are REDRAWN (slot-wise, against earlier slots) — one-shot
+    # tuple rejection passes ~1e-4 of 7-point samples on small images.
+    keys = jax.random.split(key, 33)
+    idx = jax.random.randint(keys[0], (batch, n_samples), 0, top_limit)
+    tril = jnp.tril(jnp.ones((n_samples, n_samples), bool), k=-1)
+
+    def redraw(i, idx):
+        coords = jnp.concatenate([p1[idx], p2[idx]], axis=2)  # (B, n, 4)
+        diff = jnp.abs(coords[:, :, None, :] - coords[:, None, :, :])
+        close = jnp.any(diff < min_inlier_distance, axis=3)  # (B, n, n)
+        conflict = jnp.any(close & tril[None], axis=2)  # later slot redraws
+        fresh = jax.random.randint(
+            jax.random.fold_in(keys[1], i), (batch, n_samples), 0, top_limit
+        )
+        return jnp.where(conflict, fresh, idx)
+
+    idx = jax.lax.fori_loop(0, 30, redraw, idx)
     s1 = p1[idx]  # (B, n, 2)
     s2 = p2[idx]
-
-    # Minimum-separation constraint: any coordinate axis closer than
-    # min_inlier_distance between any two sampled matches disqualifies the
-    # sample (fundamentalmatrix.rs:163-169). The reference resamples the
-    # offending point; here the whole hypothesis is discarded — cheaper on
-    # device, compensated by the batch width.
-    coords = jnp.concatenate([s1, s2], axis=2)  # (B, n, 4)
-    diff = jnp.abs(coords[:, :, None, :] - coords[:, None, :, :])  # (B,n,n,4)
+    coords = jnp.concatenate([s1, s2], axis=2)
+    diff = jnp.abs(coords[:, :, None, :] - coords[:, None, :, :])
     close = jnp.any(diff < min_inlier_distance, axis=3)
     iu = jnp.triu_indices(n_samples, k=1)
     sample_ok = ~jnp.any(close[:, iu[0], iu[1]], axis=1)
-    sample_ok &= jnp.all(idx < top_limit, axis=1)
 
     if projection_affine:
         f, valid = solve_affine_batch(s1, s2, rank_eps)  # (B,3,3), (B,)

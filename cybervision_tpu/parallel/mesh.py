@@ -1,0 +1,41 @@
+"""Device-mesh construction for multi-chip scaling.
+
+The reference is a single-process, single-GPU tool (SURVEY.md §2: no
+distributed backend). The TPU framework scales over a
+jax.sharding.Mesh instead:
+
+  * axis "hyp"  — RANSAC hypothesis batches (data-parallel analog): each
+    chip solves and scores an independent slice of the hypothesis batch;
+    the winner reduces with a max over (count, -error).
+  * axis "tile" — image-row tiles (sequence/spatial-parallel analog): the
+    dense sweep's box filters and shifts have an 11+2*window halo, which
+    XLA materializes as collective-permutes along "tile" over ICI.
+  * descriptor matching shards the image-2 table over "hyp" and reduces
+    the argmin (tensor-parallel analog over the contraction output).
+
+Collectives ride ICI via jit + sharding constraints — the XLA recipe:
+annotate inputs, let the compiler insert psum/ppermute.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(n_devices: int | None = None, tile_axis: int | None = None) -> Mesh:
+    """(hyp, tile) mesh over the first n devices. tile_axis picks the
+    size of the row-tile axis (defaults to the largest power of two
+    <= sqrt(n))."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if tile_axis is None:
+        tile_axis = 1
+        while tile_axis * tile_axis * 4 <= n_devices:
+            tile_axis *= 2
+    hyp_axis = n_devices // tile_axis
+    grid = np.array(devices).reshape(hyp_axis, tile_axis)
+    return Mesh(grid, ("hyp", "tile"))

@@ -194,9 +194,15 @@ class Reconstruction:
                 bundle_adjustment=self.cfg.bundle_adjustment,
             )
 
-        self._write_output(surface, linked)
+        # Surface cameras/tracks are remapped onto sorted(linked); the
+        # primary image for depth maps is the first RECOVERED one
+        # (reconstruction.rs:768).
+        linked_sorted = sorted(linked)
+        self._write_output(surface, linked_sorted, linked_sorted.index(linked[0]))
 
-    def _write_output(self, surface, linked_images: list[int]) -> None:
+    def _write_output(
+        self, surface, linked_images: list[int], project_to: int = 0
+    ) -> None:
         with PhaseTimer("Saved result", self.quiet):
             images_rgb = [
                 SourceImage.load_rgb(self.filenames[i]) for i in linked_images
@@ -204,7 +210,7 @@ class Reconstruction:
             output_surface(
                 surface,
                 self._out_scale(),
-                0,  # best/first linked image (reconstruction.rs:768)
+                project_to,
                 images_rgb,
                 self.out_filename,
                 self.cfg.interpolation,
