@@ -151,6 +151,13 @@ class CorrelationConfig:
     # scales: the smallest bucket >= the observed max corridor length is
     # compiled (one XLA program per bucket per shape, cached).
     corridor_window_buckets: tuple[int, ...] = (8, 16, 32, 64, 128)
+    # Fixed corridor half-width (pixels each side of the window center).
+    # When set, every refine scale uses this static window and the whole
+    # pyramid runs without device->host syncs (one fetch at the end);
+    # corridors wider than this are truncated. None restores the
+    # reference's fully data-driven window via per-scale bucket queries
+    # (correlation/mod.rs:530-538).
+    corridor_window_fixed: int | None = 16
     # Hypothesis-chunk size for the sweep (bounds live memory; the
     # reference's corridor segmentation gpu/mod.rs:31-35 solved GPU
     # timeouts, here it bounds HBM residency).

@@ -139,15 +139,23 @@ def epipolar_fields(f: jnp.ndarray, h: int, w: int, scale: float):
     xs = jnp.arange(w, dtype=jnp.float32)[None, :] / scale
     a = f[0, 0] * xs + f[0, 1] * ys + f[0, 2]
     b = f[1, 0] * xs + f[1, 1] * ys + f[1, 2]
-    c = f[2, 0] * xs + f[2, 1] * ys + f[2, 2]
+    # scale*c folded exactly into pixel units (avoids the /scale round-trip
+    # that costs an ulp on the f32 path; the sweep's floor() is sensitive
+    # to row-level flicker near integer line positions — callers should
+    # pass F normalized to unit max-entry, see normalize_f).
+    sc = (
+        f[2, 0] * jnp.arange(w, dtype=jnp.float32)[None, :]
+        + f[2, 1] * jnp.arange(h, dtype=jnp.float32)[:, None]
+        + scale * f[2, 2]
+    )
     a = jnp.broadcast_to(a, (h, w))
     b = jnp.broadcast_to(b, (h, w))
-    c = jnp.broadcast_to(c, (h, w))
+    sc = jnp.broadcast_to(sc, (h, w))
     vert = jnp.abs(a) > jnp.abs(b)
     denom = jnp.where(vert, a, b)
     safe = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
     coeff = jnp.where(vert, -b, -a) / safe
-    add = -scale * c / safe
+    add = -sc / safe
     finite = jnp.isfinite(coeff) & jnp.isfinite(add) & (jnp.abs(denom) > 0)
     return {"vert": vert, "coeff": coeff, "add": add, "finite": finite}
 
@@ -576,6 +584,32 @@ def refine_pass(
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "h2", "w2"))
+def max_corridor_halfwidth_pair(
+    prev_f: CorrelationState,
+    prev_r: CorrelationState,
+    f_fwd: jnp.ndarray,
+    f_rev: jnp.ndarray,
+    scale: float,
+    min_range: float,
+    extend_range: float,
+    *,
+    h: int,
+    w: int,
+    h2: int,
+    w2: int,
+):
+    """Both directions' window buckets in one dispatch (scalar fetches on
+    the TPU tunnel cost ~30 ms each)."""
+    a = max_corridor_halfwidth(
+        prev_f, f_fwd, scale, min_range, extend_range, h=h, w=w, h2=h2, w2=w2
+    )
+    b = max_corridor_halfwidth(
+        prev_r, f_rev, scale, min_range, extend_range, h=h2, w=w2, h2=h, w2=w
+    )
+    return jnp.stack([a, b])
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "h2", "w2"))
 def max_corridor_halfwidth(
     prev: CorrelationState,
     f: jnp.ndarray,
@@ -735,6 +769,17 @@ def optimal_scale_steps(dimensions: tuple[int, int], cfg=CorrelationConfig()):
     return oss(dimensions, cfg.scale_min_size)
 
 
+def normalize_f(f: np.ndarray) -> np.ndarray:
+    """Scale F to unit maximum entry (f64). F is only defined up to scale;
+    unit-normalizing keeps the f32 per-pixel line evaluation exact for
+    clean geometries (e.g. SEM pairs whose F entries are equal-magnitude),
+    where an arbitrary scale leaves ulp-level noise that flips floor() row
+    assignments pixel to pixel."""
+    f = np.asarray(f, np.float64)
+    m = np.abs(f).max()
+    return f / m if m > 0 else f
+
+
 def correlate_images(
     src1,
     src2,
@@ -760,27 +805,47 @@ def correlate_images(
     h1, w1 = src1.img.shape
     scales = pyramid_scales((w1, h1), cfg.scale_min_size)
 
-    f = np.asarray(f, np.float64)
+    f = normalize_f(f)
     f_fwd = jnp.asarray(f, jnp.float32)
     f_rev = jnp.asarray(f.T, jnp.float32)
+
+    # Upload each image once; pyramid levels resize on device (the
+    # reference Lanczos3-resizes on the host per scale,
+    # reconstruction.rs:565-567 — host resize + per-scale uploads cost
+    # more than the whole sweep on the TPU tunnel).
+    full1 = jnp.asarray(src1.img)
+    full2 = jnp.asarray(src2.img)
 
     state_f = state_r = None
     total = sum(s * s for s in scales)
     done = 0.0
     for si, scale in enumerate(scales):
-        im1 = jnp.asarray(src1.resize(scale))
-        im2 = jnp.asarray(src2.resize(scale))
+        im1 = _device_resize(full1, scale)
+        im2 = _device_resize(full2, scale)
         if si == 0:
             state_f = first_pass(im1, im2, f_fwd, scale, threshold, min_stdev, cs)
             state_r = first_pass(im2, im1, f_rev, scale, threshold, min_stdev, cs)
         else:
-            state_f = _refine_auto(
+            h1, w1 = im1.shape
+            h2, w2 = im2.shape
+            if cfg.corridor_window_fixed is not None:
+                win_f = win_r = cfg.corridor_window_fixed
+            else:
+                halves = np.asarray(
+                    max_corridor_halfwidth_pair(
+                        state_f, state_r, f_fwd, f_rev, scale, min_range,
+                        extend_range, h=h1, w=w1, h2=h2, w2=w2,
+                    )
+                )
+                win_f = _bucket(int(halves[0]), cfg)
+                win_r = _bucket(int(halves[1]), cfg)
+            state_f = refine_pass(
                 im1, im2, state_f, f_fwd, scale, threshold, min_stdev,
-                min_range, extend_range, cs, cfg,
+                min_range, extend_range, cs, win_f, chunk=cfg.sweep_chunk,
             )
-            state_r = _refine_auto(
+            state_r = refine_pass(
                 im2, im1, state_r, f_rev, scale, threshold, min_stdev,
-                min_range, extend_range, cs, cfg,
+                min_range, extend_range, cs, win_r, chunk=cfg.sweep_chunk,
             )
         state_f = cross_check(state_f, state_r, scale)
         state_r = cross_check(state_r, state_f, scale)
@@ -788,31 +853,36 @@ def correlate_images(
         if progress is not None:
             progress.report_status(done / total)
 
-    pos = np.asarray(state_f.pos, np.int64)
-    valid = np.asarray(state_f.valid)
-    out = np.concatenate([pos, valid[:, :, None].astype(np.int64)], axis=2)
-    return out
+    packed = np.asarray(_pack_state(state_f), np.int64)
+    return packed
 
 
-def _refine_auto(
-    im1, im2, prev, f, scale, threshold, min_stdev, min_range, extend_range,
-    cs, cfg,
-):
-    """Pick the smallest static window bucket covering the observed
-    maximum corridor length, then run the sweep."""
-    h1, w1 = im1.shape
-    h2, w2 = im2.shape
-    max_len = int(
-        max_corridor_halfwidth(
-            prev, f, scale, min_range, extend_range, h=h1, w=w1, h2=h2, w2=w2
-        )
-    )
-    window = cfg.corridor_window_buckets[-1]
+def _bucket(max_len: int, cfg: CorrelationConfig) -> int:
+    """Smallest static window bucket covering the observed maximum."""
     for b in cfg.corridor_window_buckets:
         if b >= max_len:
-            window = b
-            break
-    return refine_pass(
-        im1, im2, prev, f, scale, threshold, min_stdev, min_range,
-        extend_range, cs, window, chunk=cfg.sweep_chunk,
+            return b
+    return cfg.corridor_window_buckets[-1]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pack_state(state: CorrelationState):
+    """(H, W, 3) int32 = (x2, y2, valid): one device->host fetch."""
+    return jnp.concatenate(
+        [state.pos, state.valid[:, :, None].astype(jnp.int32)], axis=2
     )
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _device_resize(img: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Lanczos3 pyramid resize on device, matching the reference's
+    truncated output dims ((w*scale) as u32, reconstruction.rs:148-150)
+    and u8 quantization."""
+    if scale == 1.0:
+        return img
+    h, w = img.shape
+    nh, nw = int(h * scale), int(w * scale)
+    out = jax.image.resize(
+        img.astype(jnp.float32), (nh, nw), method="lanczos3"
+    )
+    return jnp.clip(jnp.round(out), 0, 255).astype(img.dtype)

@@ -346,7 +346,7 @@ def ransac_batch(
         )
         return jnp.where(conflict, fresh, idx)
 
-    idx = jax.lax.fori_loop(0, 30, redraw, idx)
+    idx = jax.lax.fori_loop(0, 12, redraw, idx)
     s1 = p1[idx]  # (B, n, 2)
     s2 = p2[idx]
     coords = jnp.concatenate([s1, s2], axis=2)

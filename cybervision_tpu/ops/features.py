@@ -213,23 +213,37 @@ def orientations(
     cfg: OrbConfig,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Intensity-centroid orientation over a 31x31 patch of the blurred
-    image (orb.rs:316-344). pts: (K, 2) as (x, y). Returns (angle, valid)."""
+    image (orb.rs:316-344). pts: (K, 2) as (x, y). Returns (angle, valid).
+
+    The patch moments are computed as dense separable window sums over the
+    whole image (m10's dx*v weighting separates as ones (x) ramp), then
+    sampled at the keypoints — 3 gathers of K values instead of K*961
+    (TPU gathers are the expensive op here)."""
     half = cfg.patch_width // 2
     h, w = blurred.shape
     val = jnp.clip(blurred, 0.0, 255.0) * blurred_valid
 
-    oy, ox = jnp.meshgrid(
-        jnp.arange(-half, half + 1), jnp.arange(-half, half + 1), indexing="ij"
-    )
-    px = pts[:, 0:1] + ox.reshape(1, -1)  # (K, 961)
-    py = pts[:, 1:2] + oy.reshape(1, -1)
-    pxc = jnp.clip(px, 0, w - 1)
-    pyc = jnp.clip(py, 0, h - 1)
-    v = val[pyc, pxc]
+    ramp = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    ones = jnp.ones_like(ramp)
 
-    m00 = jnp.sum(v, axis=1)
-    m10 = jnp.sum(v * ox.reshape(1, -1), axis=1)
-    m01 = jnp.sum(v * oy.reshape(1, -1), axis=1)
+    def sep(img, tx, ty):
+        out = jnp.zeros_like(img)
+        for i in range(len(tx)):
+            out = out + tx[i] * jnp.roll(img, half - i, axis=1)
+        out2 = jnp.zeros_like(out)
+        for i in range(len(ty)):
+            out2 = out2 + ty[i] * jnp.roll(out, half - i, axis=0)
+        return out2
+
+    m00_map = sep(val, ones, ones)
+    m10_map = sep(val, ramp, ones)
+    m01_map = sep(val, ones, ramp)
+
+    pxc = jnp.clip(pts[:, 0], 0, w - 1)
+    pyc = jnp.clip(pts[:, 1], 0, h - 1)
+    m00 = m00_map[pyc, pxc]
+    m10 = m10_map[pyc, pxc]
+    m01 = m01_map[pyc, pxc]
     angle = jnp.arctan2(m01, m10)
 
     # The reference's patch read returns None (dropping the keypoint) if any
@@ -318,34 +332,64 @@ def extract_keypoints(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()):
     )
 
     valid = kp_valid & angle_valid & desc_valid
-    return {"pts": pts, "desc": desc, "valid": valid}
+    # Packed (K, 11) int32 row = (x, y, desc[8], valid): one device->host
+    # fetch instead of three (each fetch costs ~30 ms of tunnel latency).
+    packed = jnp.concatenate(
+        [
+            pts,
+            jax.lax.bitcast_convert_type(desc, jnp.int32),
+            valid[:, None].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    return {"pts": pts, "desc": desc, "valid": valid, "packed": packed}
 
 
 def extract_keypoints_pyramid(source_img: np.ndarray, cfg: OrbConfig = OrbConfig()):
+    """Multi-scale extraction for one image (see
+    extract_keypoints_pyramid_multi)."""
+    return extract_keypoints_pyramid_multi([source_img], cfg)[0]
+
+
+def extract_keypoints_pyramid_multi(
+    images: list[np.ndarray], cfg: OrbConfig = OrbConfig()
+):
     """Multi-scale extraction: run ORB at every pyramid scale and map
     coordinates back to full resolution with truncating division
     (reconstruction.rs:407-459).
 
-    Returns (pts (N,2) int64 full-res, desc (N,8) uint32) as numpy arrays
-    with invalid slots removed.
+    All (image, scale) programs are dispatched asynchronously before any
+    result is fetched, hiding the device->host latency of one behind the
+    compute of the next.
+
+    Returns a list of (pts (N,2) int64 full-res, desc (N,8) uint32) numpy
+    pairs with invalid slots removed.
     """
     from cybervision_tpu.config import pyramid_scales
     from cybervision_tpu.images import resize_lanczos
 
-    h, w = source_img.shape
-    scales = pyramid_scales((w, h), cfg.keypoint_scale_min_size)
-    all_pts = []
-    all_desc = []
-    for scale in scales:
-        scaled = resize_lanczos(source_img, scale)
-        out = extract_keypoints(jnp.asarray(scaled), cfg)
-        pts = np.asarray(out["pts"])
-        desc = np.asarray(out["desc"])
-        valid = np.asarray(out["valid"])
-        pts = pts[valid]
-        desc = desc[valid]
+    from cybervision_tpu.ops.correlation import _device_resize
+
+    pending = []  # (image_idx, scale, packed device array)
+    for idx, img in enumerate(images):
+        h, w = img.shape
+        full = jnp.asarray(img)
+        for scale in pyramid_scales((w, h), cfg.keypoint_scale_min_size):
+            scaled = _device_resize(full, scale)
+            out = extract_keypoints(scaled, cfg)
+            pending.append((idx, scale, out["packed"]))
+
+    results = [([], []) for _ in images]
+    for idx, scale, packed in pending:
+        arr = np.asarray(packed)
+        valid = arr[:, 10] == 1
+        pts = arr[valid, 0:2]
+        desc = arr[valid, 2:10].view(np.uint32)
         # Truncating map back to full-res (reconstruction.rs:433-437).
         pts = (pts.astype(np.float32) / scale).astype(np.int64)
-        all_pts.append(pts)
-        all_desc.append(desc)
-    return np.concatenate(all_pts, axis=0), np.concatenate(all_desc, axis=0)
+        results[idx][0].append(pts)
+        results[idx][1].append(desc)
+    return [
+        (np.concatenate(p, axis=0), np.concatenate(d, axis=0))
+        for p, d in results
+    ]

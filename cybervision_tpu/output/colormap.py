@@ -12,11 +12,14 @@ import numpy as np
 
 
 def _viridis_lut() -> np.ndarray:
-    import matplotlib
+    # Pre-sampled (256, 3) reversed-viridis table (value 0 -> yellow end,
+    # like the reference); stored as package data to avoid a matplotlib
+    # import on the output path.
+    import os
 
-    cmap = matplotlib.colormaps["viridis"]
-    lut = (np.asarray(cmap(np.linspace(0.0, 1.0, 256)))[:, :3] * 255.0).round()
-    return lut[::-1].copy()  # value 0 -> yellow end, like the reference
+    return np.load(
+        os.path.join(os.path.dirname(__file__), "viridis_lut.npy")
+    ).astype(np.float64)
 
 
 _LUT = None
@@ -27,13 +30,10 @@ def map_depth(values: np.ndarray) -> np.ndarray:
     into the 256-entry table. values: (...,) in [0, 1] -> (..., 3) uint8."""
     global _LUT
     if _LUT is None:
-        _LUT = _viridis_lut()
-    v = np.asarray(values, np.float64)
-    step = 1.0 / 255.0
-    box = np.clip(np.floor(v / step).astype(np.int64), 0, 254)
-    ratio = (v - step * box) / step
-    hi = np.where(v >= 1.0, 1.0, ratio)
-    c1 = _LUT[np.where(v >= 1.0, 255, box)]
-    c2 = _LUT[np.where(v >= 1.0, 255, box + 1)]
-    out = c2 * hi[..., None] + c1 * (1.0 - hi[..., None])
-    return np.round(out).astype(np.uint8)
+        _LUT = _viridis_lut().astype(np.float32)
+    v = np.clip(np.asarray(values, np.float32) * 255.0, 0.0, 255.0)
+    box = np.minimum(v.astype(np.int32), 254)
+    ratio = (v - box)[..., None]
+    c1 = _LUT[box]
+    c2 = _LUT[box + 1]
+    return (c2 * ratio + c1 * (1.0 - ratio) + 0.5).astype(np.uint8)

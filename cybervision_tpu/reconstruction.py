@@ -19,7 +19,7 @@ from cybervision_tpu.config import ProjectionMode, ReconstructionConfig
 from cybervision_tpu.images import SourceImage
 from cybervision_tpu.ops import correlation, epipolar, matching
 from cybervision_tpu.ops.affine_triangulation import triangulate_affine
-from cybervision_tpu.ops.features import extract_keypoints_pyramid
+from cybervision_tpu.ops.features import extract_keypoints_pyramid_multi
 from cybervision_tpu.output import output_surface
 from cybervision_tpu.utils.progress import PhaseTimer, ProgressBar
 
@@ -56,8 +56,9 @@ class Reconstruction:
         """Multi-scale ORB + matching (reconstruction.rs:400-500)."""
         img1, img2 = self.image(i), self.image(j)
         with PhaseTimer("Extracted feature points", self.quiet):
-            pts1, desc1 = extract_keypoints_pyramid(img1.img, self.cfg.orb)
-            pts2, desc2 = extract_keypoints_pyramid(img2.img, self.cfg.orb)
+            (pts1, desc1), (pts2, desc2) = extract_keypoints_pyramid_multi(
+                [img1.img, img2.img], self.cfg.orb
+            )
         self._print(f"Image {img1.filename} has {len(pts1)} feature points")
         self._print(f"Image {img2.filename} has {len(pts2)} feature points")
 
