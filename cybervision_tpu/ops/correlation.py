@@ -769,6 +769,50 @@ def optimal_scale_steps(dimensions: tuple[int, int], cfg=CorrelationConfig()):
     return oss(dimensions, cfg.scale_min_size)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("corridor_size", "window_f", "window_r", "first")
+)
+def pyramid_level_step(
+    im1,
+    im2,
+    state_f,
+    state_r,
+    f_fwd,
+    f_rev,
+    scale,
+    threshold,
+    min_stdev,
+    min_range,
+    extend_range,
+    corridor_size: int,
+    window_f: int,
+    window_r: int,
+    first: bool,
+):
+    """One full pyramid level — forward + reverse sweeps and both
+    cross-checks fused into a single program (each dispatch over the TPU
+    tunnel costs 10-30 ms; a level is 6 logical steps)."""
+    if first:
+        state_f = first_pass(
+            im1, im2, f_fwd, scale, threshold, min_stdev, corridor_size
+        )
+        state_r = first_pass(
+            im2, im1, f_rev, scale, threshold, min_stdev, corridor_size
+        )
+    else:
+        state_f = refine_pass(
+            im1, im2, state_f, f_fwd, scale, threshold, min_stdev,
+            min_range, extend_range, corridor_size, window_f,
+        )
+        state_r = refine_pass(
+            im2, im1, state_r, f_rev, scale, threshold, min_stdev,
+            min_range, extend_range, corridor_size, window_r,
+        )
+    state_f = cross_check(state_f, state_r, scale)
+    state_r = cross_check(state_r, state_f, scale)
+    return state_f, state_r
+
+
 def normalize_f(f: np.ndarray) -> np.ndarray:
     """Scale F to unit maximum entry (f64). F is only defined up to scale;
     unit-normalizing keeps the f32 per-pixel line evaluation exact for
@@ -822,33 +866,25 @@ def correlate_images(
     for si, scale in enumerate(scales):
         im1 = _device_resize(full1, scale)
         im2 = _device_resize(full2, scale)
-        if si == 0:
-            state_f = first_pass(im1, im2, f_fwd, scale, threshold, min_stdev, cs)
-            state_r = first_pass(im2, im1, f_rev, scale, threshold, min_stdev, cs)
-        else:
+        win_f = win_r = cfg.corridor_window_fixed or 16
+        if si > 0 and cfg.corridor_window_fixed is None:
             h1, w1 = im1.shape
             h2, w2 = im2.shape
-            if cfg.corridor_window_fixed is not None:
-                win_f = win_r = cfg.corridor_window_fixed
-            else:
-                halves = np.asarray(
-                    max_corridor_halfwidth_pair(
-                        state_f, state_r, f_fwd, f_rev, scale, min_range,
-                        extend_range, h=h1, w=w1, h2=h2, w2=w2,
-                    )
+            halves = np.asarray(
+                max_corridor_halfwidth_pair(
+                    state_f, state_r, f_fwd, f_rev, scale, min_range,
+                    extend_range, h=h1, w=w1, h2=h2, w2=w2,
                 )
-                win_f = _bucket(int(halves[0]), cfg)
-                win_r = _bucket(int(halves[1]), cfg)
-            state_f = refine_pass(
-                im1, im2, state_f, f_fwd, scale, threshold, min_stdev,
-                min_range, extend_range, cs, win_f, chunk=cfg.sweep_chunk,
             )
-            state_r = refine_pass(
-                im2, im1, state_r, f_rev, scale, threshold, min_stdev,
-                min_range, extend_range, cs, win_r, chunk=cfg.sweep_chunk,
-            )
-        state_f = cross_check(state_f, state_r, scale)
-        state_r = cross_check(state_r, state_f, scale)
+            win_f = _bucket(int(halves[0]), cfg)
+            win_r = _bucket(int(halves[1]), cfg)
+        if si == 0:
+            state_f = state_r = empty_state(2, 2)  # placeholders (unused)
+        state_f, state_r = pyramid_level_step(
+            im1, im2, state_f, state_r, f_fwd, f_rev, scale, threshold,
+            min_stdev, min_range, extend_range, cs, win_f, win_r,
+            first=si == 0,
+        )
         done += scale * scale
         if progress is not None:
             progress.report_status(done / total)

@@ -139,6 +139,27 @@ class Reconstruction:
             raise RuntimeError("No matching image pairs found")
         correlated = self.correlate_pair(0, 1, pair.f)
 
+        # Fast lane: parallel projection + no interpolation + image output
+        # reduces to an elementwise device computation (see
+        # write_depth_image_affine_device).
+        from cybervision_tpu.config import InterpolationMode
+
+        lower = self.out_filename.lower()
+        if (
+            self.cfg.interpolation == InterpolationMode.NONE
+            and not lower.endswith((".ply", ".obj"))
+        ):
+            from cybervision_tpu.output.writers import (
+                write_depth_image_affine_device,
+            )
+
+            with PhaseTimer("Saved result", self.quiet):
+                write_depth_image_affine_device(
+                    self.out_filename, correlated,
+                    float(np.sign(self._out_scale()[2])),
+                )
+            return
+
         with PhaseTimer("Completed triangulation post-processing", self.quiet):
             surface = triangulate_affine(correlated)
             if self.cfg.max_points is not None and surface.n_points > self.cfg.max_points:
