@@ -1,0 +1,115 @@
+"""ctypes bindings for the native host-runtime kernels (native.cpp).
+
+The shared library builds lazily via make on first import; import fails
+cleanly (ImportError) when no toolchain is available, and every caller
+falls back to the numpy implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libcvtpu_native.so")
+
+
+def _build() -> None:
+    src = os.path.join(_DIR, "native.cpp")
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+        return
+    subprocess.run(
+        ["make", "-s", "libcvtpu_native.so"],
+        cwd=_DIR,
+        check=True,
+        capture_output=True,
+    )
+
+
+try:
+    _build()
+    _lib = ctypes.CDLL(_SO)
+except Exception as err:  # pragma: no cover - toolchain-dependent
+    raise ImportError(f"native module unavailable: {err}") from err
+
+_lib.polygons_obstruct.argtypes = [
+    ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long,
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+    ctypes.POINTER(ctypes.c_uint8),
+]
+_lib.rasterize_polygons_max.argtypes = [
+    ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long,
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+]
+_lib.format_obj_vertices.argtypes = [
+    ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+    ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
+]
+_lib.format_obj_vertices.restype = ctypes.c_long
+_lib.format_obj_faces.argtypes = [
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_char_p,
+]
+_lib.format_obj_faces.restype = ctypes.c_long
+
+
+def _dptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def polygons_obstruct(buf, proj, depth, polys) -> np.ndarray:
+    """(M,) bool: polygon hides a nearer z-buffer point (output.rs:320-354)."""
+    buf = np.ascontiguousarray(buf, np.float64)
+    proj = np.ascontiguousarray(proj, np.float64)
+    depth = np.ascontiguousarray(depth, np.float64)
+    polys = np.ascontiguousarray(polys, np.int32)
+    out = np.zeros(len(polys), np.uint8)
+    _lib.polygons_obstruct(
+        _dptr(buf), buf.shape[0], buf.shape[1], _dptr(proj), _dptr(depth),
+        polys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(polys),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out.astype(bool)
+
+
+def rasterize_polygons_max(out, pts, valid, polys) -> None:
+    """In-place max-combine polygon fill (output.rs:1088-1115).
+    out: (H, W) f64; pts: (N, 3) (x, y, value); valid: (N,) bool."""
+    assert out.dtype == np.float64 and out.flags.c_contiguous
+    pts = np.ascontiguousarray(pts, np.float64)
+    valid_u8 = np.ascontiguousarray(valid, np.uint8)
+    polys = np.ascontiguousarray(polys, np.int32)
+    _lib.rasterize_polygons_max(
+        _dptr(out), out.shape[0], out.shape[1], _dptr(pts),
+        valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        polys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(polys),
+    )
+
+
+def format_obj_vertices(verts, colors=None) -> str:
+    """'v x y z[ r g b]\\n' lines, shortest-round-trip doubles."""
+    verts = np.ascontiguousarray(verts, np.float64)
+    n = len(verts)
+    per = 120 if colors is not None else 96
+    buf = ctypes.create_string_buffer(per * max(n, 1))
+    cptr = (
+        _dptr(np.ascontiguousarray(colors, np.float64))
+        if colors is not None
+        else ctypes.POINTER(ctypes.c_double)()
+    )
+    written = _lib.format_obj_vertices(_dptr(verts), n, cptr, buf)
+    return buf.raw[:written].decode()
+
+
+def format_obj_faces(faces) -> str:
+    """'f a b c\\n' lines (pass 1-based, reversed indices)."""
+    faces = np.ascontiguousarray(faces, np.int32)
+    buf = ctypes.create_string_buffer(64 * max(len(faces), 1))
+    written = _lib.format_obj_faces(
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces), buf
+    )
+    return buf.raw[:written].decode()

@@ -1,0 +1,195 @@
+// Native runtime kernels for host-side serial/irregular work.
+//
+// The reference implements its host runtime in Rust (mesh scanline
+// rasterization + occlusion z-buffer tests, output.rs:107-354; buffered
+// mesh writers, output.rs:626-1007). These are the C++ equivalents,
+// exposed through ctypes (see __init__.py): the per-polygon scanline
+// loops and large-mesh text serialization are the parts that stay serial
+// and irregular — everything data-parallel lives on the TPU.
+//
+// The scanline interpolation mirrors the Python fallback
+// (cybervision_tpu.output.meshing.rasterize_polygon), which in turn
+// follows the reference's edge-walk semantics.
+
+#include <algorithm>
+#include <cfloat>
+#include <charconv>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+
+struct Vertex {
+  double x, y, v;
+};
+
+// Scanline-rasterize one triangle, calling `emit` per covered pixel.
+template <typename Emit>
+static void rasterize(const Vertex *pts_in, long max_x, long max_y,
+                      Emit emit) {
+  Vertex p[3] = {pts_in[0], pts_in[1], pts_in[2]};
+  std::sort(p, p + 3, [](const Vertex &a, const Vertex &b) { return a.y < b.y; });
+  const Vertex &a = p[0], &b = p[1], &c = p[2];
+
+  long y_min = (long)std::floor(a.y);
+  if (y_min < 0) y_min = 0;
+  if (y_min > max_y) y_min = max_y;
+  long y_max = (long)std::ceil(c.y + 1.0);
+  if (y_max < 0) y_max = 0;
+  if (y_max > max_y) y_max = max_y;
+
+  for (long y = y_min; y < y_max; y++) {
+    double fy = (double)y;
+    if (fy < a.y || fy > c.y) continue;
+
+    double bc_dx = b.x - c.x;
+    bool degenerate_bc =
+        bc_dx != 0.0 && std::fabs((b.y - c.y) / bc_dx) < DBL_EPSILON;
+
+    double start_x, start_v;
+    if (fy < b.y || degenerate_bc) {
+      double denom = b.y - a.y;
+      double coeff = denom != 0.0 ? (fy - a.y) / denom : INFINITY;
+      start_x = a.x * (1.0 - coeff) + b.x * coeff;
+      start_v = a.v * (1.0 - coeff) + b.v * coeff;
+    } else {
+      double denom = c.y - b.y;
+      double coeff = denom != 0.0 ? (fy - b.y) / denom : INFINITY;
+      start_x = b.x * (1.0 - coeff) + c.x * coeff;
+      start_v = b.v * (1.0 - coeff) + c.v * coeff;
+    }
+    double denom = c.y - a.y;
+    double coeff = denom != 0.0 ? (fy - a.y) / denom : INFINITY;
+    double end_x = a.x * (1.0 - coeff) + c.x * coeff;
+    double end_v = a.v * (1.0 - coeff) + c.v * coeff;
+
+    if (!std::isfinite(start_x) || !std::isfinite(end_x)) continue;
+    if (start_x > end_x) {
+      std::swap(start_x, end_x);
+      std::swap(start_v, end_v);
+    }
+    long x_lo = (long)std::floor(start_x);
+    if (x_lo < 0) x_lo = 0;
+    if (x_lo > max_x) x_lo = max_x;
+    long x_hi = (long)std::ceil(end_x + 1.0);
+    if (x_hi < 0) x_hi = 0;
+    if (x_hi > max_x) x_hi = max_x;
+
+    double span = end_x - start_x;
+    for (long x = x_lo; x < x_hi; x++) {
+      double x_c;
+      if (span == 0.0) {
+        if ((double)x != start_x) continue;
+        x_c = 0.0;
+      } else {
+        x_c = ((double)x - start_x) / span;
+      }
+      if (x_c < 0.0 || x_c > 1.0) continue;
+      double val = start_v * (1.0 - x_c) + x_c * end_v;
+      if (!emit(x, y, val)) return;
+    }
+  }
+}
+
+extern "C" {
+
+// Occlusion test (output.rs:320-354): polygon i obstructs if any covered
+// z-buffer cell holds a point strictly deeper than the interpolated
+// polygon depth. buf: (h, w) f64 with +inf for empty cells.
+void polygons_obstruct(const double *buf, long h, long w, const double *proj,
+                       const double *depth, const int32_t *polys, long n_polys,
+                       uint8_t *out) {
+  for (long i = 0; i < n_polys; i++) {
+    Vertex pts[3];
+    bool skip = false;
+    for (int k = 0; k < 3; k++) {
+      long v = polys[i * 3 + k];
+      pts[k] = {proj[v * 2], proj[v * 2 + 1], depth[v]};
+      if (!std::isfinite(pts[k].x) || !std::isfinite(pts[k].y)) skip = true;
+    }
+    uint8_t obstructs = 0;
+    if (!skip) {
+      rasterize(pts, w, h, [&](long x, long y, double val) {
+        double pd = buf[y * w + x];
+        if (std::isfinite(pd) && pd - val > DBL_EPSILON) {
+          obstructs = 1;
+          return false;  // early out
+        }
+        return true;
+      });
+    }
+    out[i] = obstructs;
+  }
+}
+
+// Depth-map polygon fill with max-combine (output.rs:1088-1115).
+// out: (h, w) f64 (callers init with -inf), pts: (n, 3) projected (x, y,
+// depth) per track, polys: (m, 3) indices, valid: per-track projection
+// validity.
+void rasterize_polygons_max(double *out, long h, long w, const double *pts,
+                            const uint8_t *valid, const int32_t *polys,
+                            long n_polys) {
+  for (long i = 0; i < n_polys; i++) {
+    Vertex p[3];
+    bool ok = true;
+    for (int k = 0; k < 3; k++) {
+      long v = polys[i * 3 + k];
+      if (!valid[v]) ok = false;
+      p[k] = {pts[v * 3], pts[v * 3 + 1], pts[v * 3 + 2]};
+    }
+    if (!ok) continue;
+    rasterize(p, w - 1, h - 1, [&](long x, long y, double val) {
+      double &cell = out[y * w + x];
+      if (val > cell) cell = val;
+      return true;
+    });
+  }
+}
+
+static char *write_double(char *p, double v) {
+  auto res = std::to_chars(p, p + 64, v);
+  return res.ptr;
+}
+
+// OBJ vertex lines: "v x y z\n" (optionally with rgb in [0,1]). Returns
+// the number of bytes written into out (caller sizes out at 96 bytes per
+// line, 120 with colors).
+long format_obj_vertices(const double *verts, long n, const double *colors,
+                         char *out) {
+  char *p = out;
+  for (long i = 0; i < n; i++) {
+    *p++ = 'v';
+    *p++ = ' ';
+    p = write_double(p, verts[i * 3]);
+    *p++ = ' ';
+    p = write_double(p, verts[i * 3 + 1]);
+    *p++ = ' ';
+    p = write_double(p, verts[i * 3 + 2]);
+    if (colors) {
+      for (int k = 0; k < 3; k++) {
+        *p++ = ' ';
+        p = write_double(p, colors[i * 3 + k]);
+      }
+    }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+// OBJ face lines "f a b c\n" (1-based, already-reversed indices).
+long format_obj_faces(const int32_t *faces, long n, char *out) {
+  char *p = out;
+  for (long i = 0; i < n; i++) {
+    *p++ = 'f';
+    for (int k = 0; k < 3; k++) {
+      *p++ = ' ';
+      auto res = std::to_chars(p, p + 16, faces[i * 3 + k]);
+      p = res.ptr;
+    }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+}  // extern "C"

@@ -191,7 +191,16 @@ def build_mesh(
     all_polys = []
     all_cams = []
     n_cams = surface.n_cameras
+    # Cameras with identical projection matrices produce identical
+    # triangulations that the cross-camera dedup would discard anyway
+    # (the affine stereo pair shares one dummy camera,
+    # triangulation.rs:287-292) — process one representative each.
+    proj_keys = [surface.cameras[i].projection().tobytes() for i in range(n_cams)]
+    seen: dict = {}
     for camera_i in range(n_cams):
+        if proj_keys[camera_i] in seen:
+            continue
+        seen[proj_keys[camera_i]] = camera_i
         visible = surface.track_visible(camera_i)
         proj = surface.project_points(camera_i)
         (rx0, rx1), (ry0, ry1) = img_range(image_dimensions[camera_i])
@@ -216,7 +225,11 @@ def build_mesh(
         # polygons spanning depth discontinuities.
         keep = np.ones(len(polys), bool)
         for camera_j in range(n_cams):
-            if camera_j == camera_i or not keep.any():
+            if (
+                camera_j == camera_i
+                or proj_keys[camera_j] == proj_keys[camera_i]
+                or not keep.any()
+            ):
                 continue
             buf = _depth_buffer(surface, camera_j, image_dimensions[camera_j])
             if buf is None:

@@ -147,6 +147,7 @@ def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
         current_cam = None
         vis = surface.tracks[:, :, 0] != MISSING
         vis_cum = np.cumsum(vis, axis=1)  # projections up to and incl. i
+        plain_faces = []
         for poly, cam in zip(mesh.polygons, mesh.polygon_cameras):
             if textured and cam != current_cam:
                 fh.write(f"usemtl Textured{cam}\n")
@@ -163,7 +164,17 @@ def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
                     parts.append(f"{vi + 1}/{uv}")
                 fh.write("f " + " ".join(parts) + "\n")
             else:
-                fh.write(f"f {poly[2] + 1} {poly[1] + 1} {poly[0] + 1}\n")
+                plain_faces.append(poly)
+        if plain_faces:
+            rev = np.asarray(plain_faces)[:, ::-1] + 1
+            try:
+                from cybervision_tpu.native import format_obj_faces
+
+                fh.write(format_obj_faces(rev))
+            except ImportError:
+                fh.writelines(
+                    f"f {r[0]} {r[1]} {r[2]}\n" for r in rev
+                )
 
     if textured:
         with open(os.path.join(dirname, f"{stem}.mtl"), "w") as fh:
@@ -206,18 +217,25 @@ def write_depth_image(
     # (output.rs:1061-1069).
     np.maximum.at(out, (iy, ix), depth[ok])
 
-    # Polygon fill (output.rs:1088-1115).
-    for poly in mesh.polygons:
-        if not ok[poly].all():
-            continue
-        pts = np.stack(
-            [[px[v], py[v], depth[v]] for v in poly],
-            axis=0,
-        )
-        xs, ys, vals = rasterize_polygon(pts, width - 1, height - 1)
-        if len(xs) == 0:
-            continue
-        np.maximum.at(out, (ys, xs), vals)
+    # Polygon fill (output.rs:1088-1115); C++ fast path when built.
+    if len(mesh.polygons):
+        try:
+            from cybervision_tpu.native import rasterize_polygons_max
+
+            pts_all = np.stack([px, py, depth], axis=1)
+            rasterize_polygons_max(out, pts_all, ok, mesh.polygons)
+        except ImportError:
+            for poly in mesh.polygons:
+                if not ok[poly].all():
+                    continue
+                pts = np.stack(
+                    [[px[v], py[v], depth[v]] for v in poly],
+                    axis=0,
+                )
+                xs, ys, vals = rasterize_polygon(pts, width - 1, height - 1)
+                if len(xs) == 0:
+                    continue
+                np.maximum.at(out, (ys, xs), vals)
 
     filled = np.isfinite(out)
     lo = out[filled].min()

@@ -1,0 +1,81 @@
+"""Native (C++) runtime kernels vs the numpy fallbacks."""
+
+import numpy as np
+import pytest
+
+from cybervision_tpu.output import meshing
+
+native = pytest.importorskip("cybervision_tpu.native")
+
+
+def _random_tris(rng, n, size=60):
+    proj = rng.uniform(2, size - 2, (n * 3, 2))
+    depth = rng.uniform(1, 10, n * 3)
+    polys = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    return proj, depth, polys
+
+
+def test_rasterize_matches_python(rng):
+    h = w = 64
+    proj, depth, polys = _random_tris(rng, 40)
+    valid = np.ones(len(proj), bool)
+
+    out_native = np.full((h, w), -np.inf)
+    pts_all = np.concatenate([proj, depth[:, None]], axis=1)
+    native.rasterize_polygons_max(out_native, pts_all, valid, polys)
+
+    out_py = np.full((h, w), -np.inf)
+    for poly in polys:
+        pts = np.stack([[proj[v, 0], proj[v, 1], depth[v]] for v in poly])
+        xs, ys, vals = meshing.rasterize_polygon(pts, w - 1, h - 1)
+        if len(xs):
+            np.maximum.at(out_py, (ys, xs), vals)
+
+    both = np.isfinite(out_native) & np.isfinite(out_py)
+    only = np.isfinite(out_native) != np.isfinite(out_py)
+    assert only.sum() == 0
+    np.testing.assert_allclose(out_native[both], out_py[both], rtol=1e-12)
+
+
+def test_polygons_obstruct_matches_python(rng):
+    h = w = 64
+    proj, depth, polys = _random_tris(rng, 30)
+    buf = np.full((h, w), np.inf)
+    pts_idx = rng.randint(0, 60, (200, 2))
+    buf[pts_idx[:, 1], pts_idx[:, 0]] = rng.uniform(0.5, 12, 200)
+
+    res_native = native.polygons_obstruct(buf, proj, depth, polys)
+
+    # Python reference from meshing's fallback loop.
+    eps = np.finfo(np.float64).eps
+    res_py = np.zeros(len(polys), bool)
+    for i, tri in enumerate(polys):
+        pts = np.stack([np.concatenate([proj[v], [depth[v]]]) for v in tri])
+        xs, ys, vals = meshing.rasterize_polygon(pts, w, h)
+        if len(xs) == 0:
+            continue
+        pd = buf[ys, xs]
+        res_py[i] = bool(np.any(np.isfinite(pd) & (pd - vals > eps)))
+
+    np.testing.assert_array_equal(res_native, res_py)
+
+
+def test_format_obj(rng):
+    verts = rng.uniform(-100, 100, (50, 3))
+    txt = native.format_obj_vertices(verts)
+    lines = txt.splitlines()
+    assert len(lines) == 50
+    for line, v in zip(lines, verts):
+        parts = line.split()
+        assert parts[0] == "v"
+        np.testing.assert_allclose([float(x) for x in parts[1:]], v, rtol=0)
+
+    colors = rng.uniform(0, 1, (50, 3))
+    txt = native.format_obj_vertices(verts, colors)
+    assert txt.splitlines()[0].count(" ") == 6
+
+    faces = rng.randint(1, 1000, (20, 3)).astype(np.int32)
+    ftxt = native.format_obj_faces(faces)
+    flines = ftxt.splitlines()
+    assert len(flines) == 20
+    assert flines[0] == f"f {faces[0,0]} {faces[0,1]} {faces[0,2]}"
