@@ -37,7 +37,7 @@ class Reconstruction:
             raise ValueError("need at least 2 source images")
         self.filenames = filenames
         self.out_filename = out_filename
-        self.cfg = cfg
+        self.cfg = _apply_hardware_mode(cfg)
         self.quiet = quiet
         self.images: dict[int, SourceImage] = {}
 
@@ -117,11 +117,19 @@ class Reconstruction:
 
     # -- full pipelines ---------------------------------------------------
     def run(self) -> None:
-        with PhaseTimer("Completed reconstruction", self.quiet):
-            if self.cfg.projection == ProjectionMode.AFFINE:
-                self._run_affine()
-            else:
-                self._run_perspective()
+        import contextlib
+        import os
+
+        profile_dir = os.environ.get("CVTPU_PROFILE")
+        profiler = (
+            _jax_trace(profile_dir) if profile_dir else contextlib.nullcontext()
+        )
+        with profiler, PhaseTimer("Completed reconstruction", self.quiet):
+            with _hardware_context(self.cfg):
+                if self.cfg.projection == ProjectionMode.AFFINE:
+                    self._run_affine()
+                else:
+                    self._run_perspective()
 
     def _out_scale(self) -> tuple[float, float, float]:
         """Depth scale for writers (reconstruction.rs:223-233)."""
@@ -134,6 +142,15 @@ class Reconstruction:
         return s
 
     def _run_affine(self) -> None:
+        if len(self.filenames) > 2:
+            # The reference's affine triangulation supports a single pair
+            # and fails subsequent ones (triangulation.rs:272-274); only
+            # the first pair contributes either way.
+            print(
+                "Triangulation of multiple affine images is not supported;"
+                " using the first pair",
+                file=sys.stderr,
+            )
         pair = self.reconstruct_sparse(0, 1)
         if pair.f is None:
             raise RuntimeError("No matching image pairs found")
@@ -180,10 +197,19 @@ class Reconstruction:
             self.cfg,
             quiet=self.quiet,
         )
-        # All-pairs sparse matching (reconstruction.rs:261-277).
+        # All-pairs sparse matching; a failed pair logs and leaves a hole
+        # in the F table (reconstruction.rs:261-277).
         for i in range(n - 1):
             for j in range(i + 1, n):
-                pair = self.reconstruct_sparse(i, j)
+                try:
+                    pair = self.reconstruct_sparse(i, j)
+                except Exception as err:
+                    print(
+                        f"Failed to match images {self.filenames[i]} and"
+                        f" {self.filenames[j]} ({err})",
+                        file=sys.stderr,
+                    )
+                    continue
                 if pair.f is not None:
                     pipeline.add_sparse_pair(i, j, pair.f, pair.inliers)
 
@@ -202,7 +228,15 @@ class Reconstruction:
                 f = pipeline.pair_f(i, j)
                 if f is None:
                     continue
-                correlated = self.correlate_pair(i, j, f)
+                try:
+                    correlated = self.correlate_pair(i, j, f)
+                except Exception as err:  # log-and-continue, like
+                    # reconstruction.rs:719-723
+                    print(
+                        f"Failed to perform dense correlation of images: {err}",
+                        file=sys.stderr,
+                    )
+                    continue
                 with PhaseTimer("Added dense image pair", self.quiet):
                     pipeline.add_dense_pair(i, j, correlated)
             with PhaseTimer(
@@ -238,6 +272,44 @@ class Reconstruction:
                 self.cfg.interpolation,
                 self.cfg.mesh,
             )
+
+
+def _jax_trace(profile_dir: str):
+    """XLA-level tracing (the reference only has wall-clock phase prints,
+    SURVEY.md §5); view with tensorboard/xprof."""
+    import jax
+
+    return jax.profiler.trace(profile_dir)
+
+
+def _apply_hardware_mode(cfg: ReconstructionConfig) -> ReconstructionConfig:
+    """--mode semantics (main.rs:12-17 reinterpreted for TPU):
+    gpu-low-power shrinks the sweep window/chunks like the reference's
+    reduced corridor segments (gpu/mod.rs:31-35)."""
+    from cybervision_tpu.config import HardwareMode
+
+    if cfg.hardware == HardwareMode.TPU_LOW_MEMORY:
+        corr = dataclasses.replace(
+            cfg.correlation,
+            sweep_chunk=cfg.correlation.sweep_chunk_low_memory,
+            corridor_window_fixed=min(cfg.correlation.corridor_window_fixed or 8, 8),
+        )
+        return dataclasses.replace(cfg, correlation=corr)
+    return cfg
+
+
+def _hardware_context(cfg: ReconstructionConfig):
+    """--mode=cpu runs the same JAX program on the CPU backend, mirroring
+    the reference's CPU fallback path (correlation/mod.rs:157-178)."""
+    import contextlib
+
+    from cybervision_tpu.config import HardwareMode
+
+    if cfg.hardware == HardwareMode.CPU:
+        import jax
+
+        return jax.default_device(jax.devices("cpu")[0])
+    return contextlib.nullcontext()
 
 
 def reconstruct(
