@@ -47,6 +47,7 @@ fixed program per (shape, bucket); masked lanes cover the variation.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -583,6 +584,87 @@ def refine_pass(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "corridor_size", "window", "interpret", "threshold", "min_stdev"
+    ),
+)
+def refine_pass_pallas(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    prev: CorrelationState,
+    f: jnp.ndarray,
+    scale: float,
+    threshold: float,
+    min_stdev: float,
+    min_range: float,
+    extend_range: float,
+    corridor_size: int,
+    window: int,
+    interpret: bool = False,
+) -> CorrelationState:
+    """refine_pass with the sweep running as the Pallas kernel
+    (ops.pallas_ncc.ncc_sweep): same prologue (stats, epipolar fields,
+    corridor ranges, per-stripe base-warp gathers), on-chip hypothesis
+    loop. Math-identical to refine_pass (tested via interpret mode)."""
+    from cybervision_tpu.ops import pallas_ncc
+
+    h1, w1 = img1.shape
+    h2, w2 = img2.shape
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+
+    avg1, sd1, ok1 = window_stats(img1)
+    ep = epipolar_fields(f, h1, w1, scale)
+    center, start, end, has = _corridor_ranges(
+        ep, prev, h1, w1, h2, w2, scale, min_range, extend_range
+    )
+    p_ok = ok1 & (sd1 >= min_stdev) & ep["finite"] & has
+    vert = ep["vert"]
+
+    c_f = center.astype(jnp.float32)
+    off0 = jnp.floor(ep["coeff"] * c_f + ep["add"]).astype(jnp.int32)
+    base_x = jnp.where(vert, off0, center)
+    base_y = jnp.where(vert, center, off0)
+    w0s = []
+    for o in range(-corridor_size, corridor_size + 1):
+        qx = base_x + jnp.where(vert, o, 0)
+        qy = base_y + jnp.where(vert, 0, o)
+        w0s.append(img2[jnp.clip(qy, 0, h2 - 1), jnp.clip(qx, 0, w2 - 1)])
+    w0 = jnp.stack(w0s)
+
+    best_corr, best_x, best_y = pallas_ncc.ncc_sweep(
+        img1,
+        vert.astype(jnp.float32),
+        c_f,
+        ep["coeff"],
+        ep["add"],
+        avg1,
+        1.0 / jnp.maximum(sd1, 1e-12),
+        start.astype(jnp.float32),
+        end.astype(jnp.float32),
+        p_ok.astype(jnp.float32),
+        w0,
+        threshold=threshold,
+        min_stdev=min_stdev,
+        window=window,
+        corridor_size=corridor_size,
+        h2=h2,
+        w2=w2,
+        interpret=interpret,
+    )
+
+    inv_s = jnp.round(1.0 / scale).astype(jnp.int32)
+    valid = jnp.isfinite(best_corr)
+    pos = jnp.stack([best_x * inv_s, best_y * inv_s], axis=-1)
+    return CorrelationState(
+        pos=jnp.where(valid[:, :, None], pos, 0),
+        corr=jnp.where(valid, best_corr, -1.0),
+        valid=valid,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "h2", "w2"))
 def max_corridor_halfwidth_pair(
     prev_f: CorrelationState,
@@ -770,7 +852,11 @@ def optimal_scale_steps(dimensions: tuple[int, int], cfg=CorrelationConfig()):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("corridor_size", "window_f", "window_r", "first")
+    jax.jit,
+    static_argnames=(
+        "corridor_size", "window_f", "window_r", "first", "use_pallas",
+        "threshold", "min_stdev",
+    ),
 )
 def pyramid_level_step(
     im1,
@@ -788,6 +874,7 @@ def pyramid_level_step(
     window_f: int,
     window_r: int,
     first: bool,
+    use_pallas: bool = False,
 ):
     """One full pyramid level — forward + reverse sweeps and both
     cross-checks fused into a single program (each dispatch over the TPU
@@ -800,11 +887,12 @@ def pyramid_level_step(
             im2, im1, f_rev, scale, threshold, min_stdev, corridor_size
         )
     else:
-        state_f = refine_pass(
+        sweep = refine_pass_pallas if use_pallas else refine_pass
+        state_f = sweep(
             im1, im2, state_f, f_fwd, scale, threshold, min_stdev,
             min_range, extend_range, corridor_size, window_f,
         )
-        state_r = refine_pass(
+        state_r = sweep(
             im2, im1, state_r, f_rev, scale, threshold, min_stdev,
             min_range, extend_range, corridor_size, window_r,
         )
@@ -853,6 +941,13 @@ def correlate_images(
     f_fwd = jnp.asarray(f, jnp.float32)
     f_rev = jnp.asarray(f.T, jnp.float32)
 
+    # The Pallas sweep kernel runs on real TPUs; the XLA scan formulation
+    # covers CPU (and doubles as the kernel's reference implementation).
+    # CVTPU_NO_PALLAS=1 forces the scan path on TPU (debug/fallback).
+    use_pallas = jax.default_backend() == "tpu" and not os.environ.get(
+        "CVTPU_NO_PALLAS"
+    )
+
     # Upload each image once; pyramid levels resize on device (the
     # reference Lanczos3-resizes on the host per scale,
     # reconstruction.rs:565-567 — host resize + per-scale uploads cost
@@ -884,6 +979,7 @@ def correlate_images(
             im1, im2, state_f, state_r, f_fwd, f_rev, scale, threshold,
             min_stdev, min_range, extend_range, cs, win_f, win_r,
             first=si == 0,
+            use_pallas=use_pallas,
         )
         done += scale * scale
         if progress is not None:

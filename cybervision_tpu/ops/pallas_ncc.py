@@ -1,0 +1,429 @@
+"""Pallas TPU kernel for the dense-correlation hypothesis sweep.
+
+This is the framework's hottest loop — the TPU equivalent of the
+reference's cross_correlate compute shader (cross_correlate.comp.glsl:
+72-167 / correlation/mod.rs:411-466). The XLA scan formulation in
+ops.correlation.refine_pass round-trips every hypothesis's warp, box sums
+and running best through HBM; this kernel keeps a row tile of every input
+resident in VMEM and runs the whole (stripe x corridor-offset) hypothesis
+loop on-chip, writing only the final best (corr, x, y) per pixel.
+
+Structure notes:
+  * single program, internal while-loop over row tiles with manual
+    HBM<->VMEM DMA — the axon remote TPU compiler used here crashes on
+    any gridded pallas_call, and grid-less kernels with explicit DMA are
+    the supported subset (bisected empirically; a standard deployment
+    would use a 1-D grid with the same body);
+  * every scalar index stays int32: under jax_enable_x64, int64 values
+    reach Mosaic's convert lowering and recurse.
+
+Math identical to refine_pass's scan body (verified in tests via
+interpret mode): per hypothesis u in [-window, window], the candidate is
+the center-anchored corridor position evaluated at p + u*e(p) (dominant
+axis selected per pixel), the warp is the corresponding shift of the
+stripe's base warp W0_o, NCC self-normalizes with the warp's 11x11 box
+statistics, and a strictly-greater carry keeps the first maximum in
+stripe-major / offset-minor order (the reference's walk order,
+mod.rs:372-381).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KS = 5
+KW = 2 * KS + 1
+KPC = KW * KW
+
+
+def _box11(x: jnp.ndarray, rows_out: int, cols_out: int) -> jnp.ndarray:
+    """11x11 window sum of a (rows_out + 2*KS, cols_out + 2*KS) slab,
+    valid output (rows_out, cols_out), via static slices."""
+    acc = None
+    for d in range(KW):
+        part = jax.lax.slice(x, (0, d), (x.shape[0], d + cols_out))
+        acc = part if acc is None else acc + part
+    acc2 = None
+    for d in range(KW):
+        part = jax.lax.slice(acc, (d, 0), (d + rows_out, cols_out))
+        acc2 = part if acc2 is None else acc2 + part
+    return acc2
+
+
+def _sweep_kernel(
+    img1_hbm,  # (HP + 2KS, W + 2KS)
+    vert_hbm,  # same
+    cen_hbm,  # (HP + 2wd, W + 2wd)
+    coe_hbm,
+    add_hbm,
+    avg1_hbm,  # (HP, W)
+    isd1_hbm,
+    start_hbm,
+    end_hbm,
+    pok_hbm,
+    w0_hbm,  # (n_o, HP + 2hk, W + 2hk)
+    corr_hbm,  # outputs (HP, W)
+    x_hbm,
+    y_hbm,
+    s_img,
+    s_vert,
+    s_cen,
+    s_coe,
+    s_add,
+    s_avg1,
+    s_isd1,
+    s_start,
+    s_end,
+    s_pok,
+    s_w0,
+    o_corr,
+    o_x,
+    o_y,
+    sems,
+    *,
+    window: int,
+    n_o: int,
+    corridor_size: int,
+    threshold: float,
+    min_stdev: float,
+    tile_h: int,
+    n_tiles: int,
+    w: int,
+    h: int,
+    h2: int,
+    w2: int,
+):
+    wd = window
+    f32 = jnp.float32
+
+    def ru(x, m):
+        return ((x + m - 1) // m) * m
+
+    # DMA slice shapes must align to the (8, 128) tiling; spans are
+    # rounded up and the extra rows/columns masked by the math.
+    r_img = ru(tile_h + 2 * KS, 8)
+    r_f = ru(tile_h + 2 * wd, 8)
+    r_w0 = ru(tile_h + 2 * (KS + wd), 8)
+
+    def tile_body(carry):
+        t, tok = carry
+        row0 = t * jnp.int32(tile_h)
+
+        copies = [
+            pltpu.make_async_copy(
+                img1_hbm.at[pl.ds(row0, r_img), :], s_img, sems.at[jnp.int32(0)]
+            ),
+            pltpu.make_async_copy(
+                vert_hbm.at[pl.ds(row0, r_img), :], s_vert, sems.at[jnp.int32(1)]
+            ),
+            pltpu.make_async_copy(
+                cen_hbm.at[pl.ds(row0, r_f), :], s_cen, sems.at[jnp.int32(2)]
+            ),
+            pltpu.make_async_copy(
+                coe_hbm.at[pl.ds(row0, r_f), :], s_coe, sems.at[jnp.int32(3)]
+            ),
+            pltpu.make_async_copy(
+                add_hbm.at[pl.ds(row0, r_f), :], s_add, sems.at[jnp.int32(4)]
+            ),
+            pltpu.make_async_copy(
+                avg1_hbm.at[pl.ds(row0, tile_h), :], s_avg1, sems.at[jnp.int32(5)]
+            ),
+            pltpu.make_async_copy(
+                isd1_hbm.at[pl.ds(row0, tile_h), :], s_isd1, sems.at[jnp.int32(6)]
+            ),
+            pltpu.make_async_copy(
+                start_hbm.at[pl.ds(row0, tile_h), :], s_start, sems.at[jnp.int32(7)]
+            ),
+            pltpu.make_async_copy(
+                end_hbm.at[pl.ds(row0, tile_h), :], s_end, sems.at[jnp.int32(8)]
+            ),
+            pltpu.make_async_copy(
+                pok_hbm.at[pl.ds(row0, tile_h), :], s_pok, sems.at[jnp.int32(9)]
+            ),
+            pltpu.make_async_copy(
+                w0_hbm.at[pl.ds(jnp.int32(0), n_o), pl.ds(row0, r_w0), :],
+                s_w0,
+                sems.at[jnp.int32(10)],
+            ),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        vert_c = s_vert[pl.ds(KS, tile_h), pl.ds(KS, w)] > f32(0.5)
+        avg1 = s_avg1[:, 0:w]
+        isd1 = s_isd1[:, 0:w]
+        start = s_start[:, 0:w]
+        end = s_end[:, 0:w]
+        pok = s_pok[:, 0:w] > f32(0.5)
+        img_slab = s_img[0 : tile_h + 2 * KS, 0 : w + 2 * KS]
+        vert_slab = s_vert[0 : tile_h + 2 * KS, 0 : w + 2 * KS] > f32(0.5)
+
+        row_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0) + row0
+        )
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 1)
+
+        o_corr[:] = jnp.full(o_corr.shape, -jnp.inf, f32)
+        o_x[:] = jnp.zeros(o_x.shape, f32)
+        o_y[:] = jnp.zeros(o_y.shape, f32)
+
+        for oi in range(n_o):
+            o_val = f32(oi - corridor_size)
+
+            def u_body(c, oi=oi, o_val=o_val):
+                ui, utok = c
+                u = ui - jnp.int32(wd)
+
+                # Arbitrary row offsets can't be dynamic VMEM slices
+                # (sublane alignment); dynamic rotates + static slices
+                # read the same windows. Shifts are normalized positive
+                # (rot(x, n - s)[j] = x[j + s]).
+                def rolled(ref, rows, cols, ru, cu, span_r, span_c):
+                    x = pltpu.roll(ref, rows - ru, 0)
+                    x = pltpu.roll(x, cols - cu, 1)
+                    return jax.lax.slice(x, (0, 0), (span_r, span_c))
+
+                f_rows = s_cen.shape[0]
+                f_cols = s_cen.shape[1]
+                wdu = jnp.int32(wd) + u
+                wds = jnp.int32(wd)
+
+                def fshift(ref):
+                    buf = ref[:]
+                    r = rolled(buf, f_rows, f_cols, wdu, wds, tile_h, w)
+                    cc = rolled(buf, f_rows, f_cols, wds, wdu, tile_h, w)
+                    return jnp.where(vert_c, r, cc)
+
+                cen_u = fshift(s_cen)
+                coe_u = fshift(s_coe)
+                add_u = fshift(s_add)
+                off = jnp.floor(coe_u * cen_u + add_u) + o_val
+                qx = jnp.where(vert_c, off, cen_u)
+                qy = jnp.where(vert_c, cen_u, off)
+                inb = (
+                    (qx >= f32(KS))
+                    & (qx < f32(w2 - KS))
+                    & (qy >= f32(KS))
+                    & (qy < f32(h2 - KS))
+                )
+
+                w0_buf = s_w0[oi]
+                w_rows = s_w0.shape[1]
+                w_cols = s_w0.shape[2]
+                wr = rolled(
+                    w0_buf, w_rows, w_cols, wdu, wds,
+                    tile_h + 2 * KS, w + 2 * KS,
+                )
+                wc = rolled(
+                    w0_buf, w_rows, w_cols, wds, wdu,
+                    tile_h + 2 * KS, w + 2 * KS,
+                )
+                warp = jnp.where(vert_slab, wr, wc)
+
+                cross = _box11(img_slab * warp, tile_h, w)
+                s_w_ = _box11(warp, tile_h, w)
+                s_ww = _box11(warp * warp, tile_h, w)
+                inv_kpc = f32(1.0 / KPC)
+                avg_w = s_w_ * inv_kpc
+                var_w = jnp.maximum(
+                    s_ww * inv_kpc - avg_w * avg_w, f32(0.0)
+                )
+                sd_w = jnp.sqrt(var_w)
+                corr = (
+                    (cross * inv_kpc - avg1 * avg_w)
+                    * isd1
+                    / jnp.maximum(sd_w, f32(1e-12))
+                )
+
+                # where() on i1 vectors hits an unsupported truncation
+                # in Mosaic; select float masks instead.
+                maskr = (
+                    (row_ids + u >= 0) & (row_ids + u < h)
+                ).astype(f32)
+                maskc = (
+                    (col_ids + u >= 0) & (col_ids + u < w)
+                ).astype(f32)
+                src_ok = jnp.where(vert_c, maskr, maskc) > f32(0.5)
+                ok = (
+                    src_ok
+                    & inb
+                    & (cen_u >= start)
+                    & (cen_u < end)
+                    & pok
+                    & (sd_w >= f32(min_stdev))
+                    & (corr >= f32(threshold))
+                )
+                corr = jnp.where(ok, corr, -jnp.inf)
+                prev_c = o_corr[0:tile_h, 0:w]
+                upd = corr > prev_c
+                o_corr[0:tile_h, 0:w] = jnp.where(upd, corr, prev_c)
+                o_x[0:tile_h, 0:w] = jnp.where(upd, qx, o_x[0:tile_h, 0:w])
+                o_y[0:tile_h, 0:w] = jnp.where(upd, qy, o_y[0:tile_h, 0:w])
+                return (ui + jnp.int32(1), utok)
+
+            jax.lax.while_loop(
+                lambda c: c[0] < jnp.int32(2 * wd + 1),
+                u_body,
+                (jnp.int32(0), jnp.int32(0)),
+            )
+
+        outs = [
+            pltpu.make_async_copy(
+                o_corr, corr_hbm.at[pl.ds(row0, tile_h), :], sems.at[jnp.int32(11)]
+            ),
+            pltpu.make_async_copy(
+                o_x, x_hbm.at[pl.ds(row0, tile_h), :], sems.at[jnp.int32(12)]
+            ),
+            pltpu.make_async_copy(
+                o_y, y_hbm.at[pl.ds(row0, tile_h), :], sems.at[jnp.int32(13)]
+            ),
+        ]
+        for c in outs:
+            c.start()
+        for c in outs:
+            c.wait()
+
+        return (t + jnp.int32(1), tok)
+
+    jax.lax.while_loop(
+        lambda c: c[0] < jnp.int32(n_tiles),
+        tile_body,
+        (jnp.int32(0), jnp.int32(0)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "window", "corridor_size", "tile_h", "interpret", "h2", "w2",
+        "threshold", "min_stdev",
+    ),
+)
+def ncc_sweep(
+    img1,
+    vert,
+    center,
+    coeff,
+    add,
+    avg1,
+    isd1,
+    start,
+    end,
+    p_ok,
+    w0,
+    *,
+    threshold: float,
+    min_stdev: float,
+    window: int,
+    corridor_size: int,
+    h2: int,
+    w2: int,
+    tile_h: int = 32,
+    interpret: bool = False,
+):
+    """Sweep over row tiles. All field inputs are (H, W) f32 (vert/p_ok as
+    0/1); w0 is (n_o, H, W) f32 base warps.
+    Returns (best_corr f32, best_x i32, best_y i32) at (H, W)."""
+    h, w = img1.shape
+    n_o = w0.shape[0]
+    wd = window
+    hk = KS + wd
+    pad_h = (-h) % tile_h
+    hp = h + pad_h
+    n_tiles = hp // tile_h
+
+    def ru(x, m):
+        return ((x + m - 1) // m) * m
+
+    # HBM layouts sized so every DMA slice shape is (8, 128)-aligned:
+    # columns rounded up to 128 (left halo exact, slack on the right),
+    # rows given 8 extra tail rows for the rounded-up slice spans.
+    def pad(x, m):
+        cols = ru(w + 2 * m, 128)
+        return jnp.pad(
+            x.astype(jnp.float32),
+            ((m, pad_h + m + 8), (m, cols - w - m)),
+        )
+
+    img1_p = pad(img1, KS)
+    vert_p = pad(vert, KS)
+    cen_p = pad(center, wd)
+    coe_p = pad(coeff, wd)
+    add_p = pad(add, wd)
+
+    wq = ru(w, 128)
+
+    def pad0(x):
+        return jnp.pad(
+            x.astype(jnp.float32), ((0, pad_h + 8), (0, wq - w))
+        )
+
+    w0_cols = ru(w + 2 * hk, 128)
+    w0_p = jnp.pad(
+        w0.astype(jnp.float32),
+        ((0, 0), (hk, pad_h + hk + 8), (hk, w0_cols - w - hk)),
+    )
+
+    kernel = functools.partial(
+        _sweep_kernel,
+        window=wd,
+        n_o=n_o,
+        corridor_size=corridor_size,
+        threshold=float(threshold),
+        min_stdev=float(min_stdev),
+        tile_h=tile_h,
+        n_tiles=n_tiles,
+        w=w,
+        h=h,
+        h2=h2,
+        w2=w2,
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((hp, wq), jnp.float32),
+        jax.ShapeDtypeStruct((hp, wq), jnp.float32),
+        jax.ShapeDtypeStruct((hp, wq), jnp.float32),
+    ]
+    corr, bx, by = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 11,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((ru(tile_h + 2 * KS, 8), ru(w + 2 * KS, 128)), jnp.float32),
+            pltpu.VMEM((ru(tile_h + 2 * KS, 8), ru(w + 2 * KS, 128)), jnp.float32),
+            pltpu.VMEM((ru(tile_h + 2 * wd, 8), ru(w + 2 * wd, 128)), jnp.float32),
+            pltpu.VMEM((ru(tile_h + 2 * wd, 8), ru(w + 2 * wd, 128)), jnp.float32),
+            pltpu.VMEM((ru(tile_h + 2 * wd, 8), ru(w + 2 * wd, 128)), jnp.float32),
+            pltpu.VMEM((tile_h, wq), jnp.float32),
+            pltpu.VMEM((tile_h, wq), jnp.float32),
+            pltpu.VMEM((tile_h, wq), jnp.float32),
+            pltpu.VMEM((tile_h, wq), jnp.float32),
+            pltpu.VMEM((tile_h, wq), jnp.float32),
+            pltpu.VMEM(
+                (n_o, ru(tile_h + 2 * hk, 8), ru(w + 2 * hk, 128)),
+                jnp.float32,
+            ),
+            pltpu.VMEM((tile_h, wq), jnp.float32),
+            pltpu.VMEM((tile_h, wq), jnp.float32),
+            pltpu.VMEM((tile_h, wq), jnp.float32),
+            pltpu.SemaphoreType.DMA((14,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        img1_p, vert_p, cen_p, coe_p, add_p, pad0(avg1), pad0(isd1),
+        pad0(start), pad0(end), pad0(p_ok), w0_p,
+    )
+    return (
+        corr[:h, :w],
+        bx[:h, :w].astype(jnp.int32),
+        by[:h, :w].astype(jnp.int32),
+    )
