@@ -919,6 +919,7 @@ def correlate_images(
     projection: ProjectionMode,
     cfg: CorrelationConfig = CorrelationConfig(),
     progress=None,
+    device_out: bool = False,
 ) -> np.ndarray:
     """Full coarse-to-fine correlation of an image pair
     (reconstruction.rs:528-588 + correlation/mod.rs:217-245).
@@ -985,6 +986,11 @@ def correlate_images(
         if progress is not None:
             progress.report_status(done / total)
 
+    if device_out:
+        # Leave the packed (H, W, 3) int32 state on device: the affine
+        # depth-map fast lane consumes it there, skipping a 12 MB
+        # device->host->device round trip over the TPU tunnel.
+        return _pack_state(state_f)
     packed = np.asarray(_pack_state(state_f), np.int64)
     return packed
 

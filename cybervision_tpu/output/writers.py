@@ -251,6 +251,46 @@ def write_depth_image(
     img.save(path)
 
 
+def _affine_depth_rgba(arr, z_sign):
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def go(arr, z_sign):
+        import jax.numpy as jnp
+
+        from cybervision_tpu.output.colormap import _viridis_lut
+
+        valid = arr[:, :, 2] == 1
+        h, w = valid.shape
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+        dx = xs - arr[:, :, 0].astype(jnp.float32)
+        dy = ys - arr[:, :, 1].astype(jnp.float32)
+        depth = jnp.hypot(dx, dy) * z_sign
+
+        big = jnp.float32(3.0e38)
+        lo = jnp.min(jnp.where(valid, depth, big))
+        hi = jnp.max(jnp.where(valid, depth, -big))
+        norm = jnp.clip((depth - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0)
+
+        lut = jnp.asarray(_viridis_lut(), jnp.float32)
+        v = jnp.clip(norm * 255.0, 0.0, 255.0)
+        box = jnp.minimum(v.astype(jnp.int32), 254)
+        ratio = (v - box)[:, :, None]
+        rgb = lut[box] * (1.0 - ratio) + lut[box + 1] * ratio
+        return jnp.concatenate(
+            [
+                (rgb + 0.5).astype(jnp.uint8),
+                jnp.where(valid, 255, 0).astype(jnp.uint8)[:, :, None],
+            ],
+            axis=2,
+        )
+
+    return go(arr, z_sign)
+
+
 def write_depth_image_affine_device(path: str, correlated: "jnp-or-np array",
                                     z_sign: float):
     """Device fast lane for the parallel-projection depth map with
@@ -264,38 +304,11 @@ def write_depth_image_affine_device(path: str, correlated: "jnp-or-np array",
     """
     import jax.numpy as jnp
 
-    from cybervision_tpu.output.colormap import _viridis_lut
-
-    arr = jnp.asarray(correlated)
-    valid = arr[:, :, 2] == 1
-    h, w = valid.shape
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    dx = xs - arr[:, :, 0].astype(jnp.float32)
-    dy = ys - arr[:, :, 1].astype(jnp.float32)
-    depth = jnp.hypot(dx, dy) * z_sign
-
-    big = jnp.float32(3.0e38)
-    lo = jnp.min(jnp.where(valid, depth, big))
-    hi = jnp.max(jnp.where(valid, depth, -big))
-    norm = jnp.clip((depth - lo) / jnp.maximum(hi - lo, 1e-20), 0.0, 1.0)
-
-    lut = jnp.asarray(_viridis_lut(), jnp.float32)
-    v = jnp.clip(norm * 255.0, 0.0, 255.0)
-    box = jnp.minimum(v.astype(jnp.int32), 254)
-    ratio = (v - box)[:, :, None]
-    rgb = lut[box] * (1.0 - ratio) + lut[box + 1] * ratio
-    rgba = jnp.concatenate(
-        [
-            (rgb + 0.5).astype(jnp.uint8),
-            jnp.where(valid, 255, 0).astype(jnp.uint8)[:, :, None],
-        ],
-        axis=2,
-    )
-
-    # Crop to the valid bounding box like the generic writer's projection
-    # extents (output.rs:1039-1049) — done on host after one fetch.
-    out = np.asarray(rgba)
+    # One jitted program (eager ops each pay tunnel dispatch latency);
+    # accepts the packed state still resident on device — no host round
+    # trip of the (H, W, 3) grid.
+    out = np.asarray(_affine_depth_rgba(jnp.asarray(correlated),
+                                        jnp.float32(z_sign)))
     vnp = out[:, :, 3] == 255
     if not vnp.any():
         raise ValueError("No point projections found")

@@ -15,7 +15,11 @@ import sys
 
 import numpy as np
 
-from cybervision_tpu.config import ProjectionMode, ReconstructionConfig
+from cybervision_tpu.config import (
+    HardwareMode,
+    ProjectionMode,
+    ReconstructionConfig,
+)
 from cybervision_tpu.images import SourceImage
 from cybervision_tpu.ops import correlation, epipolar, matching
 from cybervision_tpu.ops.affine_triangulation import triangulate_affine
@@ -99,17 +103,26 @@ class Reconstruction:
         return PairResult(result.f, result.inliers)
 
     # -- dense phase ----------------------------------------------------
-    def correlate_pair(self, i: int, j: int, f: np.ndarray) -> np.ndarray:
+    def correlate_pair(
+        self, i: int, j: int, f: np.ndarray, device_out: bool = False
+    ) -> np.ndarray:
         img1, img2 = self.image(i), self.image(j)
         self._print(
             f"Performing dense correlation of images {self.filenames[i]}"
             f" and {self.filenames[j]}"
         )
-        self._print("Selected hardware: TPU (XLA)")
+        import jax
+
+        backend = jax.default_backend()
+        name = "CPU (XLA)" if backend == "cpu" else "TPU (XLA)"
+        if self.cfg.hardware == HardwareMode.TPU_LOW_MEMORY:
+            name += " low-power"
+        self._print(f"Selected hardware: {name}")
         pb = ProgressBar() if not self.quiet else None
         with PhaseTimer("Completed dense correlation", self.quiet):
             out = correlation.correlate_images(
-                img1, img2, f, self.cfg.projection, self.cfg.correlation, pb
+                img1, img2, f, self.cfg.projection, self.cfg.correlation, pb,
+                device_out=device_out,
             )
         if pb:
             pb.finish()
@@ -154,18 +167,21 @@ class Reconstruction:
         pair = self.reconstruct_sparse(0, 1)
         if pair.f is None:
             raise RuntimeError("No matching image pairs found")
-        correlated = self.correlate_pair(0, 1, pair.f)
 
         # Fast lane: parallel projection + no interpolation + image output
         # reduces to an elementwise device computation (see
-        # write_depth_image_affine_device).
+        # write_depth_image_affine_device); the correlated grid stays on
+        # device for it.
         from cybervision_tpu.config import InterpolationMode
 
         lower = self.out_filename.lower()
-        if (
+        fast_lane = (
             self.cfg.interpolation == InterpolationMode.NONE
             and not lower.endswith((".ply", ".obj"))
-        ):
+        )
+        correlated = self.correlate_pair(0, 1, pair.f, device_out=fast_lane)
+
+        if fast_lane:
             from cybervision_tpu.output.writers import (
                 write_depth_image_affine_device,
             )
