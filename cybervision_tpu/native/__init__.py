@@ -113,3 +113,7 @@ def format_obj_faces(faces) -> str:
         faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces), buf
     )
     return buf.raw[:written].decode()
+
+
+# Importing succeeded: the toolchain built (or reused) the shared library.
+AVAILABLE = True

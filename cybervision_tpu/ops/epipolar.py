@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cybervision_tpu.config import ProjectionMode, RansacConfig
+from cybervision_tpu.errors import RansacError
 
 # ---------------------------------------------------------------------------
 # Residual
@@ -545,7 +546,7 @@ def find_fundamental_matrix(
         t = t * max_dimension
     m = len(matches)
     if m < d + n:
-        raise ValueError("Not enough matches")
+        raise RansacError("Not enough matches")
 
     p1 = jnp.asarray(matches[:, 0:2], jnp.float32)
     p2 = jnp.asarray(matches[:, 2:4], jnp.float32)
@@ -591,7 +592,7 @@ def find_fundamental_matrix(
             break
 
     if best[0] is None or best[1] == 0:
-        raise ValueError("No reliable matches found")
+        raise RansacError("No reliable matches found")
 
     f = best[0]
     pts1 = matches[:, 0:2].astype(np.float64)

@@ -21,6 +21,7 @@ import numpy as np
 from PIL import Image
 
 from cybervision_tpu.config import InterpolationMode, MeshMode
+from cybervision_tpu.errors import OutputError
 from cybervision_tpu.ops.surface import MISSING, Surface
 from cybervision_tpu.output.colormap import map_depth
 from cybervision_tpu.output.meshing import (
@@ -200,7 +201,7 @@ def write_depth_image(
     (rx0, rx1), (ry0, ry1) = img_range(image_dimensions[project_to_image])
     ok = (proj[:, 0] > rx0) & (proj[:, 0] < rx1) & (proj[:, 1] > ry0) & (proj[:, 1] < ry1)
     if not ok.any():
-        raise ValueError("No point projections found")
+        raise OutputError("No point projections found")
     min_x = np.floor(proj[ok, 0].min())
     max_x = np.ceil(proj[ok, 0].max())
     min_y = np.floor(proj[ok, 1].min())
@@ -311,7 +312,7 @@ def write_depth_image_affine_device(path: str, correlated: "jnp-or-np array",
                                         jnp.float32(z_sign)))
     vnp = out[:, :, 3] == 255
     if not vnp.any():
-        raise ValueError("No point projections found")
+        raise OutputError("No point projections found")
     ys_i, xs_i = np.nonzero(vnp)
     out = out[ys_i.min() : ys_i.max() + 1, xs_i.min() : xs_i.max() + 1]
     img = Image.fromarray(out, "RGBA")

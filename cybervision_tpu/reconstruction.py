@@ -20,6 +20,7 @@ from cybervision_tpu.config import (
     ProjectionMode,
     ReconstructionConfig,
 )
+from cybervision_tpu.errors import ImageError, TriangulationError
 from cybervision_tpu.images import SourceImage
 from cybervision_tpu.ops import correlation, epipolar, matching
 from cybervision_tpu.ops.affine_triangulation import triangulate_affine
@@ -38,7 +39,7 @@ class Reconstruction:
     def __init__(self, filenames: list[str], out_filename: str,
                  cfg: ReconstructionConfig, quiet: bool = False):
         if len(filenames) < 2:
-            raise ValueError("need at least 2 source images")
+            raise ImageError("need at least 2 source images")
         self.filenames = filenames
         self.out_filename = out_filename
         self.cfg = _apply_hardware_mode(cfg)
@@ -166,7 +167,7 @@ class Reconstruction:
             )
         pair = self.reconstruct_sparse(0, 1)
         if pair.f is None:
-            raise RuntimeError("No matching image pairs found")
+            raise TriangulationError("No matching image pairs found")
 
         # Fast lane: parallel projection + no interpolation + image output
         # reduces to an elementwise device computation (see
@@ -231,7 +232,7 @@ class Reconstruction:
 
         linked = pipeline.recover_camera_poses()
         if not linked:
-            raise RuntimeError("No matching image pairs found")
+            raise TriangulationError("No matching image pairs found")
 
         # Dense correlation of linked pairs + per-image track merging
         # (reconstruction.rs:668-730).
