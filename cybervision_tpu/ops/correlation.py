@@ -976,11 +976,18 @@ def correlate_images(
             win_r = _bucket(int(halves[1]), cfg)
         if si == 0:
             state_f = state_r = empty_state(2, 2)  # placeholders (unused)
+        level_pallas = use_pallas
+        if level_pallas:
+            from cybervision_tpu.ops.pallas_ncc import pick_tile_h
+
+            wmax = max(im1.shape[1], im2.shape[1])
+            if pick_tile_h(wmax, max(win_f, win_r), cs) is None:
+                level_pallas = False  # working set over VMEM: scan path
         state_f, state_r = pyramid_level_step(
             im1, im2, state_f, state_r, f_fwd, f_rev, scale, threshold,
             min_stdev, min_range, extend_range, cs, win_f, win_r,
             first=si == 0,
-            use_pallas=use_pallas,
+            use_pallas=level_pallas,
         )
         done += scale * scale
         if progress is not None:

@@ -40,6 +40,39 @@ KS = 5
 KW = 2 * KS + 1
 KPC = KW * KW
 
+# v5e has 128 MB of VMEM; Mosaic's default scoped budget is 16 MB. The
+# kernel's working set (scratch + compiler stack temporaries, observed
+# ~2.7x the declared scratch) scales with tile_h * row width, so wide
+# images get a raised limit and a narrower tile instead of an OOM.
+VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+_TEMP_FACTOR = 2.7
+
+
+def _ru(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _scratch_bytes(tile_h: int, w: int, wd: int, n_o: int) -> int:
+    """Declared VMEM scratch for one tile (mirrors ncc_sweep's shapes)."""
+    hk = KS + wd
+    wq = _ru(w, 128)
+    total = 2 * _ru(tile_h + 2 * KS, 8) * _ru(w + 2 * KS, 128)
+    total += 3 * _ru(tile_h + 2 * wd, 8) * _ru(w + 2 * wd, 128)
+    total += 8 * tile_h * wq
+    total += n_o * _ru(tile_h + 2 * hk, 8) * _ru(w + 2 * hk, 128)
+    return 4 * total
+
+
+def pick_tile_h(w: int, window: int, corridor_size: int) -> int | None:
+    """Largest tile height (multiple of 8, <=64) whose estimated VMEM
+    working set fits the budget; None if even tile_h=8 does not fit (the
+    caller falls back to the XLA scan formulation)."""
+    n_o = 2 * corridor_size + 1
+    for tile_h in range(64, 7, -8):
+        if _TEMP_FACTOR * _scratch_bytes(tile_h, w, window, n_o) <= VMEM_LIMIT_BYTES:
+            return tile_h
+    return None
+
 
 def _box11(x: jnp.ndarray, rows_out: int, cols_out: int) -> jnp.ndarray:
     """11x11 window sum of a (rows_out + 2*KS, cols_out + 2*KS) slab,
@@ -325,7 +358,7 @@ def ncc_sweep(
     corridor_size: int,
     h2: int,
     w2: int,
-    tile_h: int = 32,
+    tile_h: int | None = None,
     interpret: bool = False,
 ):
     """Sweep over row tiles. All field inputs are (H, W) f32 (vert/p_ok as
@@ -335,6 +368,13 @@ def ncc_sweep(
     n_o = w0.shape[0]
     wd = window
     hk = KS + wd
+    if tile_h is None:
+        tile_h = pick_tile_h(w, window, corridor_size)
+        if tile_h is None:
+            raise ValueError(
+                f"ncc_sweep working set exceeds VMEM for w={w},"
+                f" window={window}; use the scan path"
+            )
     pad_h = (-h) % tile_h
     hp = h + pad_h
     n_tiles = hp // tile_h
@@ -416,7 +456,9 @@ def ncc_sweep(
             pltpu.VMEM((tile_h, wq), jnp.float32),
             pltpu.SemaphoreType.DMA((14,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(
         img1_p, vert_p, cen_p, coe_p, add_p, pad0(avg1), pad0(isd1),
