@@ -31,11 +31,20 @@ def make_mesh(n_devices: int | None = None, tile_axis: int | None = None) -> Mes
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"make_mesh: requested {n_devices} devices but only "
+            f"{len(devices)} visible ({devices[0].platform}); set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=<n> before "
+            "importing jax to emulate a multi-chip mesh on CPU"
+        )
     devices = devices[:n_devices]
     if tile_axis is None:
         tile_axis = 1
         while tile_axis * tile_axis * 4 <= n_devices:
             tile_axis *= 2
+    if n_devices % tile_axis:
+        tile_axis = 1
     hyp_axis = n_devices // tile_axis
     grid = np.array(devices).reshape(hyp_axis, tile_axis)
     return Mesh(grid, ("hyp", "tile"))
