@@ -855,7 +855,7 @@ def optimal_scale_steps(dimensions: tuple[int, int], cfg=CorrelationConfig()):
     jax.jit,
     static_argnames=(
         "corridor_size", "window_f", "window_r", "first", "use_pallas",
-        "threshold", "min_stdev",
+        "threshold", "min_stdev", "mesh",
     ),
 )
 def pyramid_level_step(
@@ -875,10 +875,23 @@ def pyramid_level_step(
     window_r: int,
     first: bool,
     use_pallas: bool = False,
+    mesh=None,
 ):
     """One full pyramid level — forward + reverse sweeps and both
     cross-checks fused into a single program (each dispatch over the TPU
-    tunnel costs 10-30 ms; a level is 6 logical steps)."""
+    tunnel costs 10-30 ms; a level is 6 logical steps).
+
+    When a mesh is given, every per-level array is pinned row-sharded
+    over its 'dev' axis: the sweeps' shifted windows and box filters get
+    halo collective-permutes from GSPMD, and the cross-check's +-4-cell
+    dilations likewise — the multi-chip spatial-parallel path.
+    """
+    if mesh is not None:
+        from cybervision_tpu.parallel import constrain_rows
+
+        im1, im2, state_f, state_r = constrain_rows(
+            mesh, (im1, im2, state_f, state_r)
+        )
     if first:
         state_f = first_pass(
             im1, im2, f_fwd, scale, threshold, min_stdev, corridor_size
@@ -898,6 +911,10 @@ def pyramid_level_step(
         )
     state_f = cross_check(state_f, state_r, scale)
     state_r = cross_check(state_r, state_f, scale)
+    if mesh is not None:
+        from cybervision_tpu.parallel import constrain_rows
+
+        state_f, state_r = constrain_rows(mesh, (state_f, state_r))
     return state_f, state_r
 
 
@@ -956,6 +973,18 @@ def correlate_images(
     full1 = jnp.asarray(src1.img)
     full2 = jnp.asarray(src2.img)
 
+    # Multi-chip: shard image rows over the pipeline mesh; every level's
+    # arrays are then pinned row-sharded inside pyramid_level_step.
+    from cybervision_tpu.parallel import pipeline_mesh, shard_rows
+
+    mesh = pipeline_mesh()
+    if mesh is not None:
+        full1, full2 = shard_rows(mesh, (full1, full2))
+        # The Pallas sweep kernel is written for one chip's VMEM; under a
+        # mesh the XLA scan formulation runs sharded instead (GSPMD cannot
+        # partition a pallas_call it didn't write).
+        use_pallas = False
+
     state_f = state_r = None
     total = sum(s * s for s in scales)
     done = 0.0
@@ -988,6 +1017,7 @@ def correlate_images(
             min_stdev, min_range, extend_range, cs, win_f, win_r,
             first=si == 0,
             use_pallas=level_pallas,
+            mesh=mesh,
         )
         done += scale * scale
         if progress is not None:

@@ -425,6 +425,83 @@ def ransac_batch(
 
 
 # ---------------------------------------------------------------------------
+# Multi-chip hypothesis sharding
+
+
+def ransac_batch_sharded(
+    mesh,
+    key,
+    p1,
+    p2,
+    m_valid,
+    top_limit,
+    threshold,
+    min_inlier_distance,
+    min_count,
+    *,
+    n_samples: int,
+    batch: int,
+    projection_affine: bool,
+    rank_eps: float,
+    t1=None,
+    t2=None,
+):
+    """ransac_batch with the hypothesis batch sharded over the mesh.
+
+    Data-parallel RANSAC (SURVEY.md §2: "RANSAC hypothesis batches —
+    embarrassingly parallel"): each device runs an independent
+    batch/n_dev slice with its own PRNG fold, then a tiny cross-device
+    reduce picks the winner by the reference's (count, -mean error)
+    ordering (fundamentalmatrix.rs:623-649). Same signature and return
+    contract as ransac_batch.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    per = max(1, batch // n_dev)
+    keys = jax.random.split(key, n_dev)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    def run(keys_shard):
+        f, c, e = ransac_batch(
+            keys_shard[0],
+            p1,
+            p2,
+            m_valid,
+            top_limit,
+            threshold,
+            min_inlier_distance,
+            min_count,
+            n_samples=n_samples,
+            batch=per,
+            projection_affine=projection_affine,
+            rank_eps=rank_eps,
+            t1=t1,
+            t2=t2,
+        )
+        return f[None], c[None], e[None]
+
+    fs, cs, es = run(keys)
+    return _pick_winner(fs, cs, es, threshold)
+
+
+@jax.jit
+def _pick_winner(fs, cs, es, threshold):
+    """Cross-device winner by the same score rule as ransac_batch."""
+    score = cs.astype(jnp.float32) - jnp.clip(
+        es / jnp.maximum(threshold, 1e-20), 0.0, 0.99
+    )
+    i = jnp.argmax(score)
+    return fs[i], cs[i], es[i]
+
+
+# ---------------------------------------------------------------------------
 # LM refinement (f64, CPU backend)
 
 
@@ -558,13 +635,20 @@ def find_fundamental_matrix(
         t1 = hartley_normalization(p1)
         t2 = hartley_normalization(p2)
 
+    from cybervision_tpu.parallel import pipeline_mesh
+
+    mesh = pipeline_mesh()
+    sweep = ransac_batch if mesh is None else functools.partial(
+        ransac_batch_sharded, mesh
+    )
+
     key = jax.random.PRNGKey(cfg.seed)
     batch = cfg.check_interval
     best = (None, 0, np.inf)  # (f, count, err)
     n_batches = max(1, ransac_k // batch)
     for i in range(n_batches):
         key, sub = jax.random.split(key)
-        f_b, count_b, err_b = ransac_batch(
+        f_b, count_b, err_b = sweep(
             sub,
             p1,
             p2,

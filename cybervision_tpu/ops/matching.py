@@ -84,6 +84,59 @@ def match_descriptors(
     return best_idx, best_dist, matched
 
 
+def match_descriptors_sharded(
+    mesh,
+    desc1: jnp.ndarray,
+    valid1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    threshold: int,
+    chunk: int = 4096,
+):
+    """match_descriptors with the image-2 table sharded over the mesh.
+
+    Tensor-parallel contraction: each device holds an N2/n_dev slice of
+    the +-1 descriptor table, computes its (N1, N2/n_dev) distance tile
+    and a local argmin, then a tiny (n_dev, N1) combine picks the global
+    best. Ties resolve to the lowest global index (shards are ordered, and
+    jnp.argmin keeps the first minimum) — same contract as the reference's
+    min_by iteration order (pointmatching.rs:61-71).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n2 = desc2.shape[0]
+    pad2 = (-n2) % n_dev
+    d2p = jnp.pad(desc2, ((0, pad2), (0, 0)))
+    v2p = jnp.pad(valid2, (0, pad2))
+    per = (n2 + pad2) // n_dev
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    def run(d1, v1, d2, v2):
+        idx, dist, _ = match_descriptors(d1, v1, d2, v2, threshold, chunk=chunk)
+        gidx = idx + jax.lax.axis_index(axis) * per
+        return gidx[None], dist[None]
+
+    gidx, dist = run(desc1, valid1, d2p, v2p)  # (n_dev, N1)
+    return _combine_shard_mins(gidx, dist, valid1, threshold)
+
+
+@jax.jit
+def _combine_shard_mins(gidx, dist, valid1, threshold):
+    best_dev = jnp.argmin(dist, axis=0)
+    cols = jnp.arange(dist.shape[1])
+    best_dist = dist[best_dev, cols]
+    best_idx = gidx[best_dev, cols]
+    matched = valid1 & (best_dist <= threshold)
+    return best_idx, best_dist, matched
+
+
 def match_keypoints(
     pts1: np.ndarray,
     desc1: np.ndarray,
@@ -100,7 +153,14 @@ def match_keypoints(
     d2 = jnp.asarray(desc2)
     v1 = jnp.ones((len(desc1),), dtype=bool)
     v2 = jnp.ones((len(desc2),), dtype=bool)
-    idx, dist, ok = match_descriptors(d1, v1, d2, v2, threshold)
+
+    from cybervision_tpu.parallel import pipeline_mesh
+
+    mesh = pipeline_mesh()
+    if mesh is not None:
+        idx, dist, ok = match_descriptors_sharded(mesh, d1, v1, d2, v2, threshold)
+    else:
+        idx, dist, ok = match_descriptors(d1, v1, d2, v2, threshold)
     idx = np.asarray(idx)
     dist = np.asarray(dist)
     ok = np.asarray(ok)

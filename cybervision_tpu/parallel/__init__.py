@@ -1,13 +1,16 @@
-from cybervision_tpu.parallel.mesh import make_mesh
+from cybervision_tpu.parallel.mesh import make_mesh, pipeline_mesh
 from cybervision_tpu.parallel.sharding import (
-    sharded_hamming_matmul,
-    sharded_ransac_batch,
-    sharded_refine_pass,
+    assert_spans_mesh,
+    constrain_rows,
+    row_sharding,
+    shard_rows,
 )
 
 __all__ = [
     "make_mesh",
-    "sharded_hamming_matmul",
-    "sharded_ransac_batch",
-    "sharded_refine_pass",
+    "pipeline_mesh",
+    "assert_spans_mesh",
+    "constrain_rows",
+    "row_sharding",
+    "shard_rows",
 ]

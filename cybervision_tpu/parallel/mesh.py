@@ -19,9 +19,33 @@ annotate inputs, let the compiler insert psum/ppermute.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 from jax.sharding import Mesh
+
+_PIPELINE_MESH: dict[tuple, Mesh] = {}
+
+
+def pipeline_mesh(min_devices: int = 2) -> Mesh | None:
+    """The flat ('dev',) mesh the pipeline shards its hot stages over.
+
+    Returns None when fewer than min_devices devices are visible or when
+    CVTPU_NO_SHARD is set — callers then take the single-device path.
+    The reference is single-device (correlation/gpu/mod.rs:10-19); this is
+    the framework's scaling axis: RANSAC hypothesis slices, dense-sweep
+    image rows, and the Hamming contraction all shard over 'dev'.
+    """
+    if os.environ.get("CVTPU_NO_SHARD"):
+        return None
+    devices = jax.devices()
+    if len(devices) < min_devices:
+        return None
+    key = tuple(d.id for d in devices)
+    if key not in _PIPELINE_MESH:
+        _PIPELINE_MESH[key] = Mesh(np.array(devices), ("dev",))
+    return _PIPELINE_MESH[key]
 
 
 def make_mesh(n_devices: int | None = None, tile_axis: int | None = None) -> Mesh:

@@ -1,57 +1,63 @@
-"""Sharded wrappers of the hot pipeline stages.
+"""Generic sharding utilities used by the pipeline's hot stages.
 
-Strategy (see parallel.mesh): annotate input shardings and jit — XLA
-inserts the ICI collectives (halo permutes for the sweep's shifted
-windows, all-reduces for argmin/argmax winners). These wrappers are used
-by the multi-chip dry run and by the pipeline when more than one device
-is visible.
+The reference is single-process/single-device; multi-chip scaling is this
+framework's own axis (SURVEY.md §2 "Distributed backend"). The recipe is
+the standard XLA one: annotate shardings on a named mesh and let GSPMD
+insert the ICI collectives. Consumers:
+
+  * ops.epipolar.find_fundamental_matrix — shard_map's the RANSAC
+    hypothesis batch over 'dev' (data parallel; tiny cross-device winner
+    reduce), via ransac shards built with these helpers.
+  * ops.correlation.correlate_images — device_put's the image pyramid
+    row-sharded and constrains every pyramid-level array with
+    constrain_rows; the sweep's shifted windows make GSPMD materialize
+    halo collective-permutes along 'dev'.
+  * ops.matching.match_descriptors_sharded — shards the image-2
+    descriptor table over 'dev' (tensor-parallel contraction) and
+    combines per-device argmins.
+
+This module is ops-free on purpose: the pipeline modules own their
+sharded variants and call these primitives.
 """
 
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cybervision_tpu.ops import correlation, epipolar, matching
+
+def row_sharding(mesh: Mesh, ndim: int, axis: str = "dev") -> NamedSharding:
+    """NamedSharding splitting the leading axis over the mesh axis."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
-def sharded_refine_pass(mesh: Mesh, img1, img2, prev, f, scale, cfg_args):
-    """Dense refine sweep with image rows sharded over the 'tile' axis.
-
-    The box filters / dynamic shifts need halo rows; jit materializes them
-    as collective permutes along 'tile'.
-    """
-    row_shard = NamedSharding(mesh, P("tile", None))
-    img1 = jax.device_put(img1, row_shard)
-    img2 = jax.device_put(img2, row_shard)
-    prev = jax.tree.map(lambda x: jax.device_put(x, row_shard_for(mesh, x)), prev)
-    return correlation.refine_pass(img1, img2, prev, f, scale, *cfg_args)
+def shard_rows(mesh: Mesh, tree, axis: str = "dev"):
+    """device_put every array leaf with its leading axis sharded."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, row_sharding(mesh, x.ndim, axis)), tree
+    )
 
 
-def row_shard_for(mesh: Mesh, x) -> NamedSharding:
-    spec = ["tile"] + [None] * (x.ndim - 1)
-    return NamedSharding(mesh, P(*spec))
+def constrain_rows(mesh: Mesh, tree, axis: str = "dev"):
+    """with_sharding_constraint (inside jit) pinning leading-axis sharding
+    on every leaf; identity outside a mesh (mesh is None)."""
+    if mesh is None:
+        return tree
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(
+            x, row_sharding(mesh, x.ndim, axis)
+        ),
+        tree,
+    )
 
 
-def sharded_ransac_batch(mesh: Mesh, key, p1, p2, m_valid, **kw):
-    """RANSAC with the hypothesis batch sharded over every mesh device.
-
-    Each device samples and scores its slice; the final argmax reduces
-    across devices (a tiny all-reduce of (f, count, error)).
-    """
-    rep = NamedSharding(mesh, P())
-    p1 = jax.device_put(p1, rep)
-    p2 = jax.device_put(p2, rep)
-    m_valid = jax.device_put(m_valid, rep)
-    return epipolar.ransac_batch(key, p1, p2, m_valid, **kw)
-
-
-def sharded_hamming_matmul(mesh: Mesh, desc1, valid1, desc2, valid2, threshold):
-    """Descriptor matching with the image-2 table sharded over 'hyp'
-    (tensor-parallel contraction) and image-1 rows over 'tile'."""
-    d1 = jax.device_put(desc1, NamedSharding(mesh, P("tile", None)))
-    d2 = jax.device_put(desc2, NamedSharding(mesh, P("hyp", None)))
-    v1 = jax.device_put(valid1, NamedSharding(mesh, P("tile")))
-    v2 = jax.device_put(valid2, NamedSharding(mesh, P("hyp")))
-    return matching.match_descriptors(d1, v1, d2, v2, threshold, chunk=d1.shape[0])
+def assert_spans_mesh(x, mesh: Mesh) -> None:
+    """Raise unless x's committed sharding covers every mesh device —
+    the guard the multi-chip tests and dryrun use so the pipeline can't
+    silently fall back to one device."""
+    devs = getattr(x.sharding, "device_set", None)
+    want = set(mesh.devices.flat)
+    if devs is None or not want.issubset(devs):
+        raise AssertionError(
+            f"array sharding {x.sharding} does not span the {mesh} mesh"
+        )
