@@ -34,7 +34,7 @@ Options:
       --no-bundle-adjustment           Skip bundle adjustment [if unspecified, bundle adjustment will be applied]
       --max-points=<MAX_POINTS>        Limit number of points in the resulting mesh
       --projection=<PROJECTION>        Projection mode [default: perspective] [possible values: parallel, perspective]
-      --mesh=<MESH>                    Mesh options [default: plain, vertex-colors, texture-coordinates]
+      --mesh=<MESH>                    Mesh options [default: vertex-colors] [possible values: plain, vertex-colors, texture-coordinates]
       --help                           Print help"""
 
 _ENUMS = {
@@ -86,7 +86,13 @@ def parse_args(argv: list[str]):
                 try:
                     enum_val = _ENUMS[name][value]
                 except KeyError:
-                    print(f"Unsupported value {value} for {name}", file=sys.stderr)
+                    noun = {
+                        "--mode": "hardware mode",
+                        "--interpolation": "interpolation",
+                        "--projection": "projection",
+                        "--mesh": "mesh vertex output mode",
+                    }[name]
+                    print(f"Unsupported {noun} {value}", file=sys.stderr)
                     print(USAGE)
                     raise SystemExit(2) from None
                 field = {
@@ -97,6 +103,9 @@ def parse_args(argv: list[str]):
                 }[name]
                 kw[field] = enum_val
             else:
+                # Reference-exact: an unknown --flag=value only warns and
+                # parsing continues (main.rs:161-163 has no exit(2) in the
+                # unknown-argument arm, unlike the bad-value arms).
                 print(f"Unsupported argument {arg}", file=sys.stderr)
         else:
             filenames.append(arg)

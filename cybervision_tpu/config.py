@@ -158,11 +158,10 @@ class CorrelationConfig:
     # reference's fully data-driven window via per-scale bucket queries
     # (correlation/mod.rs:530-538).
     corridor_window_fixed: int | None = 16
-    # Hypothesis-chunk size for the sweep (bounds live memory; the
-    # reference's corridor segmentation gpu/mod.rs:31-35 solved GPU
-    # timeouts, here it bounds HBM residency).
-    sweep_chunk: int = 32
-    sweep_chunk_low_memory: int = 8
+    # Low-power window clamp: --mode=gpu-low-power shrinks the sweep
+    # window the way the reference shrinks corridor segments
+    # (gpu/mod.rs:31-35), bounding per-dispatch VMEM/HBM residency.
+    corridor_window_low_memory: int = 8
 
     @property
     def kernel_width(self) -> int:
@@ -203,6 +202,10 @@ class TriangulationConfig:
     """Sparse/dense SFM triangulation (reference: triangulation.rs:15-29)."""
 
     bundle_adjustment_max_iterations: int = 100
+    # Tracks per Schur-assembly chunk: bounds BA's live jacobian block to
+    # O(chunk * cameras), like the reference's 10k-track parallel chunks
+    # (triangulation.rs:1690).
+    ba_track_chunk: int = 10_000
     extend_tracks_search_radius: int = 3
     merge_tracks_search_radius: int = 2
     merge_tracks_max_distance: int = 10

@@ -3,15 +3,19 @@
 Reference (triangulation.rs:1675-2147): analytic 2x6 camera and 2x3 point
 jacobians, Schur-complement reduced camera system (eliminate points via
 per-track 3x3 V^-1, solve the 6m x 6m camera system, back-substitute),
-LM damping with mu/nu and rollback, at most 100 iterations.
+LM damping with mu/nu and rollback, at most 100 iterations, track-chunked
+parallelism (10 000 tracks per chunk, triangulation.rs:1690).
 
-JAX redesign: residuals and jacobians are vmapped autodiff over the
-(track, camera) observation grid (replacing the reference's hand-derived
-Gallego-Yezzi forms — same derivatives, no special-casing near r = 0);
-the Schur assembly is a handful of einsums over the track axis; the
-reduced system solves on the host. Runs in f64 on the CPU backend (TPUs
-have no native f64; the camera system is tiny and the per-iteration
-einsums stream well on CPU), chunked over tracks.
+Design here: batched analytic jacobians (the reference's Gallego-Yezzi
+rotation derivative, triangulation.rs:1719-1742, with an explicit
+small-angle limit) evaluated as numpy einsums over (track, camera)
+blocks; the Schur assembly streams over track chunks of
+cfg.ba_track_chunk so only an O(chunk * m) jacobian block is ever live —
+the same memory discipline as the reference's chunking — and the tiny
+6m x 6m reduced camera system solves densely. Everything runs in f64 on
+the host: TPUs have no native f64, the per-iteration einsums stream well
+on CPU, and the dense-phase track counts make precision the binding
+constraint (the reference is f64 throughout).
 
 Deviation: jacobian terms are masked to actual observations — the
 reference accumulates A'A / W terms for every (track, camera) pair even
@@ -146,28 +150,43 @@ def bundle_adjust(
     nu = 2.0
     res = residual(r_stack, t_stack, points)
     found = False
+    chunk = max(int(cfg.ba_track_chunk), 1)
+
+    def jac_chunk(sl):
+        return _jacobians_np(
+            k_stack, r_stack, t_stack, points[sl], mask[sl]
+        )
 
     for it in range(cfg.bundle_adjustment_max_iterations):
-        a, b = _jacobians_np(k_stack, r_stack, t_stack, points, mask)
+        # Streamed Schur assembly: only an O(chunk * m) jacobian block is
+        # live at a time (reference chunks 10k tracks,
+        # triangulation.rs:1690).
+        g_a = np.zeros((m, 6))
+        g_b = np.zeros((t, 3))
+        v_inv = np.zeros((t, 3, 3))
+        s = np.zeros((m, 6, m, 6))
+        e = np.zeros((m, 6))
+        s_diag = np.zeros((m, 6, 6))
+        for c0 in range(0, t, chunk):
+            sl = slice(c0, min(c0 + chunk, t))
+            a, b = jac_chunk(sl)
+            res_c = res[sl]
+            g_a += np.einsum("tmri,tmr->mi", a, res_c)
+            g_b[sl] = np.einsum("tmri,tmr->ti", b, res_c)
+            s_diag += np.einsum("tmri,tmrj->mij", a, a)  # U accumulation
+            v_c = np.einsum("tmri,tmrj->tij", b, b)  # (c, 3, 3)
+            w_c = np.einsum("tmri,tmrj->tmij", a, b)  # (c, m, 6, 3)
+            v_inv[sl] = np.linalg.pinv(v_c + mu * np.eye(3)[None])
+            y_c = np.einsum("tmij,tjk->tmik", w_c, v_inv[sl])
+            s -= np.einsum("tmij,tnkj->mink", y_c, w_c)
+            e -= np.einsum("tmij,tj->mi", y_c, g_b[sl])
 
-        g_a = np.einsum("tmri,tmr->mi", a, res)  # (m, 6)
-        g_b = np.einsum("tmri,tmr->ti", b, res)  # (T, 3)
-        if max(np.abs(g_a).max(), np.abs(g_b).max()) <= 1e-12:
+        if max(np.abs(g_a).max(), np.abs(g_b).max(), 0.0) <= 1e-12:
             found = True
             break
 
-        u_mat = np.einsum("tmri,tmrj->mij", a, a)  # (m, 6, 6)
-        v_mat = np.einsum("tmri,tmrj->tij", b, b)  # (T, 3, 3)
-        w_mat = np.einsum("tmri,tmrj->tmij", a, b)  # (T, m, 6, 3)
-
-        v_aug = v_mat + mu * np.eye(3)[None]
-        v_inv = np.linalg.pinv(v_aug)
-        y = np.einsum("tmij,tjk->tmik", w_mat, v_inv)  # (T, m, 6, 3)
-
-        s = np.zeros((m, 6, m, 6))
-        s[np.arange(m), :, np.arange(m), :] = u_mat + mu * np.eye(6)[None]
-        s -= np.einsum("tmij,tnkj->mink", y, w_mat)
-        e = g_a - np.einsum("tmij,tj->mi", y, g_b)
+        s[np.arange(m), :, np.arange(m), :] += s_diag + mu * np.eye(6)[None]
+        e += g_a
 
         try:
             delta_a = np.linalg.solve(
@@ -175,9 +194,19 @@ def bundle_adjust(
             ).reshape(m, 6)
         except np.linalg.LinAlgError:
             return None
-        delta_b = np.einsum(
-            "tij,tj->ti", v_inv, g_b - np.einsum("tmij,mi->tj", w_mat, delta_a)
-        )
+
+        # Back-substitution, streamed over the same chunks (w is
+        # recomputed rather than kept resident).
+        delta_b = np.zeros((t, 3))
+        for c0 in range(0, t, chunk):
+            sl = slice(c0, min(c0 + chunk, t))
+            a, b = jac_chunk(sl)
+            w_c = np.einsum("tmri,tmrj->tmij", a, b)
+            delta_b[sl] = np.einsum(
+                "tij,tj->ti",
+                v_inv[sl],
+                g_b[sl] - np.einsum("tmij,mi->tj", w_c, delta_a),
+            )
 
         delta_norm = np.sqrt((delta_a**2).sum() + (delta_b**2).sum())
         params_norm = np.sqrt(

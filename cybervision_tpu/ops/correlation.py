@@ -433,7 +433,6 @@ def refine_pass(
     extend_range: float,
     corridor_size: int,
     window: int,
-    chunk: int = 32,  # kept for API compatibility; sweep is unrolled
 ) -> CorrelationState:
     """One refine-scale sweep. `window` is the static corridor half-width
     bucket; per-pixel ranges beyond it are truncated (callers pick the

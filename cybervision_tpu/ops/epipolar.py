@@ -300,7 +300,9 @@ def solve_perspective_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_samples", "batch", "projection_affine", "rank_eps"),
+    static_argnames=(
+        "n_samples", "batch", "projection_affine", "rank_eps", "top_k"
+    ),
 )
 def ransac_batch(
     key,
@@ -317,6 +319,7 @@ def ransac_batch(
     rank_eps: float,
     t1=None,
     t2=None,
+    top_k: int = 1,
 ):
     """One device batch of RANSAC hypotheses.
 
@@ -326,7 +329,11 @@ def ransac_batch(
     t1, t2: optional (3,3) Hartley transforms used for the perspective
     solve; scoring is always in pixel space.
 
-    Returns (best_f (3,3), best_count, best_error) for the batch.
+    Returns the batch's top_k hypotheses, score-descending:
+    (f (K, 3, 3), count (K,), mean_error (K,)). K > 1 feeds the top-K LM
+    refinement pass that restores the reference's refine-before-counting
+    fidelity (fundamentalmatrix.rs:201-205) without a serial LM inside
+    the device sweep.
     """
     # Minimum-separation sampling (fundamentalmatrix.rs:155-175): any
     # coordinate axis closer than min_inlier_distance between two sampled
@@ -420,8 +427,9 @@ def ransac_batch(
     score = count.astype(jnp.float32) - jnp.clip(
         mean_err / jnp.maximum(threshold, 1e-20), 0.0, 0.99
     )
-    best = jnp.argmax(score)
-    return ff[best], count[best], mean_err[best]
+    k = min(top_k, score.shape[0])
+    _, top_i = jax.lax.top_k(score, k)
+    return ff[top_i], count[top_i], mean_err[top_i]
 
 
 # ---------------------------------------------------------------------------
@@ -445,15 +453,16 @@ def ransac_batch_sharded(
     rank_eps: float,
     t1=None,
     t2=None,
+    top_k: int = 1,
 ):
     """ransac_batch with the hypothesis batch sharded over the mesh.
 
     Data-parallel RANSAC (SURVEY.md §2: "RANSAC hypothesis batches —
     embarrassingly parallel"): each device runs an independent
     batch/n_dev slice with its own PRNG fold, then a tiny cross-device
-    reduce picks the winner by the reference's (count, -mean error)
-    ordering (fundamentalmatrix.rs:623-649). Same signature and return
-    contract as ransac_batch.
+    reduce merges the per-device top-K by the reference's
+    (count, -mean error) ordering (fundamentalmatrix.rs:623-649). Same
+    signature and return contract as ransac_batch.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -484,20 +493,24 @@ def ransac_batch_sharded(
             rank_eps=rank_eps,
             t1=t1,
             t2=t2,
+            top_k=top_k,
         )
         return f[None], c[None], e[None]
 
-    fs, cs, es = run(keys)
-    return _pick_winner(fs, cs, es, threshold)
+    fs, cs, es = run(keys)  # (n_dev, K, ...)
+    return _merge_topk(
+        fs.reshape(-1, 3, 3), cs.reshape(-1), es.reshape(-1), threshold, top_k
+    )
 
 
-@jax.jit
-def _pick_winner(fs, cs, es, threshold):
-    """Cross-device winner by the same score rule as ransac_batch."""
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def _merge_topk(fs, cs, es, threshold, top_k: int):
+    """Cross-device top-K merge by the same score rule as ransac_batch."""
     score = cs.astype(jnp.float32) - jnp.clip(
         es / jnp.maximum(threshold, 1e-20), 0.0, 0.99
     )
-    i = jnp.argmax(score)
+    k = min(top_k, score.shape[0])
+    _, i = jax.lax.top_k(score, k)
     return fs[i], cs[i], es[i]
 
 
@@ -642,9 +655,17 @@ def find_fundamental_matrix(
         ransac_batch_sharded, mesh
     )
 
+    # Perspective keeps a top-K candidate pool for post-sweep LM
+    # refinement (config.RansacConfig.top_k_refine — the documented
+    # replacement for the reference's LM inside every RANSAC validation,
+    # fundamentalmatrix.rs:201-205); affine has no in-loop LM to restore.
+    want_k = (
+        cfg.top_k_refine if projection == ProjectionMode.PERSPECTIVE else 1
+    )
+
     key = jax.random.PRNGKey(cfg.seed)
     batch = cfg.check_interval
-    best = (None, 0, np.inf)  # (f, count, err)
+    pool: list[tuple[np.ndarray, int, float]] = []  # (f, count, err)
     n_batches = max(1, ransac_k // batch)
     for i in range(n_batches):
         key, sub = jax.random.split(key)
@@ -663,36 +684,59 @@ def find_fundamental_matrix(
             rank_eps=cfg.rank_epsilon,
             t1=t1,
             t2=t2,
+            top_k=want_k,
         )
-        count_b = int(count_b)
-        err_b = float(err_b)
-        if count_b > best[1] or (count_b == best[1] and err_b < best[2]):
-            best = (np.asarray(f_b, np.float64), count_b, err_b)
+        fs = np.asarray(f_b, np.float64)
+        counts = np.asarray(count_b)
+        errs = np.asarray(err_b, np.float64)
+        for j in range(len(counts)):
+            if counts[j] > 0:
+                pool.append((fs[j], int(counts[j]), float(errs[j])))
+        pool.sort(key=lambda e: (-e[1], e[2]))
+        del pool[want_k:]
+        best_count = pool[0][1] if pool else 0
         if progress is not None:
             progress.report_status((i + 1) / n_batches)
             if hasattr(progress, "report_matches"):
-                progress.report_matches(best[1])
-        if best[1] > d_early:
+                progress.report_matches(best_count)
+        if best_count > d_early:
             break
 
-    if best[0] is None or best[1] == 0:
+    if not pool:
         raise RansacError("No reliable matches found")
 
-    f = best[0]
     pts1 = matches[:, 0:2].astype(np.float64)
     pts2 = matches[:, 2:4].astype(np.float64)
+
+    f = pool[0][0]
+    if projection == ProjectionMode.PERSPECTIVE:
+        # LM-refine every pooled hypothesis on its own inlier set, rescore
+        # against all matches, and keep the overall (count, -err) winner —
+        # raw candidates stay in the running in case LM diverges.
+        candidates = list(pool)
+        for f0, _, _ in pool:
+            fits0 = _score_inliers(f0, pts1, pts2, t)
+            if fits0.sum() < 7:
+                continue
+            refined = _lm_refine_f(f0, pts1[fits0], pts2[fits0])
+            if refined is None:
+                continue
+            err = np.asarray(
+                sampson_error(
+                    jnp.asarray(refined, jnp.float64),
+                    jnp.asarray(pts1, jnp.float64),
+                    jnp.asarray(pts2, jnp.float64),
+                )
+            )
+            fits_r = np.isfinite(err) & (err <= t)
+            c_r = int(fits_r.sum())
+            if c_r:
+                candidates.append((refined, c_r, float(err[fits_r].mean())))
+        candidates.sort(key=lambda e: (-e[1], e[2]))
+        f = candidates[0][0]
+
     fits = _score_inliers(f, pts1, pts2, t)
     inliers = matches[fits]
-
-    if projection == ProjectionMode.PERSPECTIVE and len(inliers) >= 7:
-        refined = _lm_refine_f(
-            f, inliers[:, 0:2].astype(np.float64), inliers[:, 2:4].astype(np.float64)
-        )
-        if refined is not None:
-            f = refined
-            fits = _score_inliers(f, pts1, pts2, t)
-            inliers = matches[fits]
-
     return FundamentalMatrixResult(
         f=f, inliers=inliers, matches_count=int(fits.sum())
     )

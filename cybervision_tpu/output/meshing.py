@@ -21,20 +21,21 @@ import dataclasses
 import numpy as np
 from scipy.spatial import Delaunay, QhullError
 
-from cybervision_tpu.config import InterpolationMode
+from cybervision_tpu.config import InterpolationMode, OutputConfig
 from cybervision_tpu.ops.surface import Surface
 
-MAX_CENTER_DISTANCE = 4.0  # output.rs:21
-
-
-def img_range(image_size: tuple[int, int]) -> tuple[tuple[float, float], tuple[float, float]]:
-    """Acceptable projection range: within +-4 image sizes of the center
-    (output.rs:613-622). image_size is (width, height)."""
+def img_range(
+    image_size: tuple[int, int],
+    max_center_distance: float = OutputConfig.max_center_distance,
+) -> tuple[tuple[float, float], tuple[float, float]]:
+    """Acceptable projection range: within +-max_center_distance image
+    sizes of the center (output.rs:613-622, constant at output.rs:21).
+    image_size is (width, height)."""
     cx = image_size[0] / 2.0
     cy = image_size[1] / 2.0
     return (
-        (cx - image_size[0] * MAX_CENTER_DISTANCE, cx + image_size[0] * MAX_CENTER_DISTANCE),
-        (cy - image_size[1] * MAX_CENTER_DISTANCE, cy + image_size[1] * MAX_CENTER_DISTANCE),
+        (cx - image_size[0] * max_center_distance, cx + image_size[0] * max_center_distance),
+        (cy - image_size[1] * max_center_distance, cy + image_size[1] * max_center_distance),
     )
 
 
@@ -115,13 +116,15 @@ def rasterize_polygon(points: np.ndarray, max_x: int, max_y: int):
     return np.concatenate(out_x), np.concatenate(out_y), np.concatenate(out_v)
 
 
-def _depth_buffer(surface: Surface, camera_j: int, image_size) -> np.ndarray | None:
+def _depth_buffer(
+    surface: Surface, camera_j: int, image_size, max_center_distance: float
+) -> np.ndarray | None:
     """Nearest-point z-buffer for one camera (DepthBuffer::new,
     output.rs:261-318). Returns (H, W) float64 with +inf for empty."""
     visible = surface.track_visible(camera_j)
     proj = surface.project_points(camera_j)
     depth = surface.point_depths(camera_j)
-    (rx0, rx1), (ry0, ry1) = img_range(image_size)
+    (rx0, rx1), (ry0, ry1) = img_range(image_size, max_center_distance)
     ok = (
         visible
         & (proj[:, 0] > rx0)
@@ -179,8 +182,10 @@ def build_mesh(
     image_dimensions: list[tuple[int, int]],
     interpolation: InterpolationMode,
     progress=None,
+    output_cfg: OutputConfig = OutputConfig(),
 ) -> Mesh:
     """Mesh::create (output.rs:363-519)."""
+    mcd = output_cfg.max_center_distance
     if interpolation != InterpolationMode.DELAUNAY or surface.n_points == 0:
         return Mesh(
             surface,
@@ -203,7 +208,7 @@ def build_mesh(
         seen[proj_keys[camera_i]] = camera_i
         visible = surface.track_visible(camera_i)
         proj = surface.project_points(camera_i)
-        (rx0, rx1), (ry0, ry1) = img_range(image_dimensions[camera_i])
+        (rx0, rx1), (ry0, ry1) = img_range(image_dimensions[camera_i], mcd)
         ok = (
             visible
             & (proj[:, 0] > rx0)
@@ -231,7 +236,9 @@ def build_mesh(
                 or not keep.any()
             ):
                 continue
-            buf = _depth_buffer(surface, camera_j, image_dimensions[camera_j])
+            buf = _depth_buffer(
+                surface, camera_j, image_dimensions[camera_j], mcd
+            )
             if buf is None:
                 continue
             proj_j = surface.project_points(camera_j)

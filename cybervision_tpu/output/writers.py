@@ -20,7 +20,7 @@ import os
 import numpy as np
 from PIL import Image
 
-from cybervision_tpu.config import InterpolationMode, MeshMode
+from cybervision_tpu.config import InterpolationMode, MeshMode, OutputConfig
 from cybervision_tpu.errors import OutputError
 from cybervision_tpu.ops.surface import MISSING, Surface
 from cybervision_tpu.output.colormap import map_depth
@@ -190,7 +190,8 @@ def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
 
 
 def write_depth_image(
-    path, mesh: Mesh, image_dimensions, project_to_image: int, z_sign: float
+    path, mesh: Mesh, image_dimensions, project_to_image: int, z_sign: float,
+    output_cfg: OutputConfig = OutputConfig(),
 ):
     """Depth-map image writer (output.rs:1009-1144): project every point
     into the primary camera, z-buffer splat keeping the larger depth,
@@ -198,7 +199,9 @@ def write_depth_image(
     surface = mesh.surface
     proj = surface.project_points(project_to_image)
     depth = surface.point_depths(project_to_image) * z_sign
-    (rx0, rx1), (ry0, ry1) = img_range(image_dimensions[project_to_image])
+    (rx0, rx1), (ry0, ry1) = img_range(
+        image_dimensions[project_to_image], output_cfg.max_center_distance
+    )
     ok = (proj[:, 0] > rx0) & (proj[:, 0] < rx1) & (proj[:, 1] > ry0) & (proj[:, 1] < ry1)
     if not ok.any():
         raise OutputError("No point projections found")
@@ -330,11 +333,14 @@ def output_surface(
     interpolation: InterpolationMode,
     mesh_mode: MeshMode,
     progress=None,
+    output_cfg: OutputConfig = OutputConfig(),
 ):
     """Writer facade (output.rs:567-611): dispatch on extension, build the
     mesh, emit."""
     image_dimensions = [(img.shape[1], img.shape[0]) for img in images]
-    mesh = build_mesh(surface, image_dimensions, interpolation, progress)
+    mesh = build_mesh(
+        surface, image_dimensions, interpolation, progress, output_cfg
+    )
     lower = path.lower()
     if lower.endswith(".obj"):
         write_obj(path, mesh, images, mesh_mode, out_scale)
@@ -342,7 +348,8 @@ def output_surface(
         write_ply(path, mesh, images, mesh_mode, out_scale)
     else:
         write_depth_image(
-            path, mesh, image_dimensions, project_to_image, float(np.sign(out_scale[2]))
+            path, mesh, image_dimensions, project_to_image,
+            float(np.sign(out_scale[2])), output_cfg,
         )
     if progress is not None:
         progress.report_status(1.0)

@@ -288,6 +288,7 @@ class Reconstruction:
                 self.out_filename,
                 self.cfg.interpolation,
                 self.cfg.mesh,
+                output_cfg=self.cfg.output,
             )
 
 
@@ -306,10 +307,12 @@ def _apply_hardware_mode(cfg: ReconstructionConfig) -> ReconstructionConfig:
     from cybervision_tpu.config import HardwareMode
 
     if cfg.hardware == HardwareMode.TPU_LOW_MEMORY:
+        clamp = cfg.correlation.corridor_window_low_memory
         corr = dataclasses.replace(
             cfg.correlation,
-            sweep_chunk=cfg.correlation.sweep_chunk_low_memory,
-            corridor_window_fixed=min(cfg.correlation.corridor_window_fixed or 8, 8),
+            corridor_window_fixed=min(
+                cfg.correlation.corridor_window_fixed or clamp, clamp
+            ),
         )
         return dataclasses.replace(cfg, correlation=corr)
     return cfg

@@ -6,6 +6,11 @@ and prints per-phase wall-clock lines like "Completed X in N seconds"
 (reconstruction.rs:316-318 et al.).  This module reproduces both: a minimal
 terminal progress bar and a context-manager phase timer with the same
 stdout phrasing so runs are drop-in comparable.
+
+The reference's per-level scale^2 progress rescaling
+(reconstruction.rs:866-893) lives directly in the pyramid loop
+(ops.correlation.correlate_images: done/total over scale^2) — each level
+is one fused dispatch here, so there is no sub-phase to rescale.
 """
 
 from __future__ import annotations
@@ -63,21 +68,6 @@ class ProgressBar:
         if self._enabled:
             self._stream.write("\r" + " " * 60 + "\r")
             self._stream.flush()
-
-
-class ScaledProgress:
-    """Rescales a sub-phase's [0,1] progress into a band of the parent bar,
-    weighting pyramid levels by scale^2 (reference: reconstruction.rs:866-893)."""
-
-    def __init__(self, parent, complete: float, total: float, scale: float):
-        self._parent = parent
-        self._complete = complete
-        self._total = total
-        self._scale = scale
-
-    def report_status(self, pos: float) -> None:
-        value = self._complete + pos * self._scale * self._scale / self._total
-        self._parent.report_status(value)
 
 
 class PhaseTimer:

@@ -127,7 +127,7 @@ def test_ransac_sharded_runs_and_agrees():
         jnp.ones((m,), bool), m, 0.1, 10.0, 14,
         n_samples=4, batch=2048, projection_affine=True, rank_eps=1e-3,
     )
-    assert int(count) >= 14
+    assert count.shape == (1,) and int(count[0]) >= 14
 
 
 @needs8
