@@ -1,15 +1,20 @@
 """Headline benchmark: 1024x1024 SEM stereopair, end-to-end reconstruction.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-The metric is wall-clock seconds for the full pipeline (ORB features ->
-Hamming matching -> affine RANSAC -> coarse-to-fine dense NCC correlation
--> triangulation -> PNG depth map) on a synthetic 1024^2 SEM-like pair,
-with JIT caches warm (one warm-up run at a smaller size first; the
-reference has no JIT). The reference publishes no numbers (BASELINE.md),
-so vs_baseline compares against this repo's north-star target of 2.0 s
-(BASELINE.json): vs_baseline = target / measured (>1 is better than
-target). The dense-correlation throughput in Mpix/s is reported alongside.
+The headline metric is the BASELINE.json north star: wall-clock seconds
+for the full pipeline to a PLY mesh (ORB features -> Hamming matching ->
+affine RANSAC -> coarse-to-fine dense NCC correlation -> affine
+triangulation -> Delaunay meshing -> binary PLY with vertex colors) on a
+synthetic 1024^2 SEM-like pair, JIT caches warm. vs_baseline = target /
+measured against the 2.0 s target (>1 is better than target; the
+reference publishes no numbers, BASELINE.md).
+
+extra carries the two other BASELINE.md metrics:
+  * depth_map_seconds — e2e to a PNG depth map (interpolation=none, the
+    device fast lane; BASELINE config #1),
+  * dense_correlation_mpix_per_s_per_chip — processed pixels (both sweep
+    directions, every pyramid level) / dense-correlation wall-clock.
 """
 
 import json
@@ -34,21 +39,61 @@ def synth_sem_pair(h, w, seed=0):
     return np.round(img1).astype(np.uint8), np.round(img2).astype(np.uint8)
 
 
-def run(h, w, out_path, cfg):
+def save_pair(d, h, w):
     from PIL import Image
 
-    from cybervision_tpu.reconstruction import Reconstruction
-
     img1, img2 = synth_sem_pair(h, w)
-    d = os.path.dirname(out_path)
     p1 = os.path.join(d, "bench_a.png")
     p2 = os.path.join(d, "bench_b.png")
     Image.fromarray(img1).save(p1)
     Image.fromarray(img2).save(p2)
+    return p1, p2
+
+
+def run(p1, p2, out_path, cfg):
+    from cybervision_tpu.reconstruction import Reconstruction
+
     rec = Reconstruction([p1, p2], out_path, cfg, quiet=True)
     t0 = time.time()
     rec.run()
     return time.time() - t0
+
+
+def correlation_throughput(p1, p2, n_runs=3):
+    """Dense-correlation Mpix/s per chip: processed pixels (both
+    directions x every pyramid level) / sweep wall-clock."""
+    import jax
+
+    from cybervision_tpu.config import (
+        CorrelationConfig,
+        ProjectionMode,
+        pyramid_scales,
+    )
+    from cybervision_tpu.images import SourceImage
+    from cybervision_tpu.ops import correlation
+
+    src1 = SourceImage.load(p1)
+    src2 = SourceImage.load(p2)
+    f = np.array([[0, 0, 0], [0, 0, 1], [0, -1, 0]], np.float64)
+    cfg = CorrelationConfig()
+
+    h, w = src1.img.shape
+    pixels = 0
+    for s in pyramid_scales((w, h), cfg.scale_min_size):
+        pixels += 2 * int(h * s) * int(w * s)  # forward + reverse sweeps
+
+    def once():
+        t0 = time.time()
+        packed = correlation.correlate_images(
+            src1, src2, f, ProjectionMode.AFFINE, cfg, device_out=True
+        )
+        # The tunnel's block_until_ready is unreliable; fetch a value.
+        np.asarray(jax.device_get(packed[0, 0]))
+        return time.time() - t0
+
+    once()  # warm
+    dt = min(once() for _ in range(n_runs))
+    return pixels / dt / 1e6, dt
 
 
 def main():
@@ -62,35 +107,50 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cybervision_tpu.config import (
-        CorrelationConfig,
         InterpolationMode,
+        MeshMode,
         ProjectionMode,
-        RansacConfig,
         ReconstructionConfig,
     )
 
-    cfg = ReconstructionConfig(
+    cfg_depth = ReconstructionConfig(
         projection=ProjectionMode.AFFINE,
         interpolation=InterpolationMode.NONE,
-        ransac=RansacConfig(),
-        correlation=CorrelationConfig(),
+    )
+    cfg_ply = ReconstructionConfig(
+        projection=ProjectionMode.AFFINE,
+        interpolation=InterpolationMode.DELAUNAY,
+        mesh=MeshMode.VERTEX_COLORS,
     )
 
     with tempfile.TemporaryDirectory() as td:
-        # Warm-up at full size: compiles every (shape, bucket) program.
-        run(1024, 1024, os.path.join(td, "warm.png"), cfg)
+        p1, p2 = save_pair(td, 1024, 1024)
+        # Warm-up both configs at full size: compiles every
+        # (shape, bucket) program once.
+        run(p1, p2, os.path.join(td, "warm.png"), cfg_depth)
+        run(p1, p2, os.path.join(td, "warm.ply"), cfg_ply)
         # Best of 3: the host vCPU is heavily bursty (20x variance on
         # identical numpy work), so a single sample is meaningless.
-        elapsed = min(
-            run(1024, 1024, os.path.join(td, f"out{i}.png"), cfg)
+        depth_s = min(
+            run(p1, p2, os.path.join(td, f"out{i}.png"), cfg_depth)
             for i in range(3)
         )
+        ply_s = min(
+            run(p1, p2, os.path.join(td, f"out{i}.ply"), cfg_ply)
+            for i in range(3)
+        )
+        mpix_s, corr_s = correlation_throughput(p1, p2)
 
     result = {
-        "metric": "e2e_1024x1024_sem_pair_to_depth_map_seconds",
-        "value": round(elapsed, 3),
+        "metric": "e2e_1024x1024_sem_pair_to_ply_mesh_seconds",
+        "value": round(ply_s, 3),
         "unit": "s",
-        "vs_baseline": round(2.0 / elapsed, 3),
+        "vs_baseline": round(2.0 / ply_s, 3),
+        "extra": {
+            "depth_map_seconds": round(depth_s, 3),
+            "dense_correlation_seconds": round(corr_s, 3),
+            "dense_correlation_mpix_per_s_per_chip": round(mpix_s, 1),
+        },
     }
     print(json.dumps(result))
     return 0

@@ -36,6 +36,7 @@ import numpy as np
 from scipy import ndimage
 
 from cybervision_tpu.config import ReconstructionConfig, TriangulationConfig
+from cybervision_tpu.ops import sfm_device
 from cybervision_tpu.ops.surface import MISSING, Camera, Surface, rodrigues_matrix
 
 # ---------------------------------------------------------------------------
@@ -107,9 +108,17 @@ def triangulate_tracks_np(
     valid = np.zeros(t, bool)
     if len(idx) == 0:
         return points, valid
-    # eigh on the (V, 4, 4) stack; smallest eigenvector is the point.
-    w, v = np.linalg.eigh(ata[idx])
-    h = v[:, :, 0]
+    # Smallest eigenvector of each normal matrix. Large batches solve as
+    # one device f32 eigh + f64 host polish (ops.sfm_device — dense-phase
+    # track counts make the host eigh a multi-second serial loop); small
+    # batches stay on the host where dispatch latency would dominate.
+    from cybervision_tpu.ops import sfm_device
+
+    if len(idx) >= sfm_device.DEVICE_DLT_MIN_TRACKS:
+        h = sfm_device.dlt_nullspaces(ata[idx])
+    else:
+        w, v = np.linalg.eigh(ata[idx])
+        h = v[:, :, 0]
     wcomp = h[:, 3]
     ok = np.abs(wcomp) >= scale_threshold
     pts3 = h[:, :3] / np.where(ok, wcomp, 1.0)[:, None]
@@ -381,42 +390,32 @@ def recover_pose_ransac(
         cands = solve_p3p(rays[sample], pts3d[sample])  # (B, 4, 12)
         cands = cands.reshape(-1, 12)
         sample_rep = np.repeat(sample, 4, axis=0)
-        fin = np.isfinite(cands).all(axis=1)
-        if not fin.any():
-            continue
-        cands = cands[fin]
-        sample_rep = sample_rep[fin]
 
+        # Projection P = K [R|t] per candidate; NaN candidates stay NaN
+        # and are rejected by the device scorer's finite checks.
         r = cands[:, :9].reshape(-1, 3, 3)
         tv = cands[:, 9:12]
-        # Projection P = K [R|t]; project all tracks per candidate.
-        proj = np.einsum("ij,bjk->bik", k, np.concatenate([r, tv[:, :, None]], axis=2))
-
-        # Sample-consistency gate: the 3 sampled points must reproject
-        # within the inlier threshold (triangulation.rs:1110-1117).
-        s3d = pts3d[sample_rep]  # (B, 3, 3)
-        sh = np.concatenate([s3d, np.ones((*s3d.shape[:2], 1))], axis=2)
-        sp = np.einsum("bik,bnk->bni", proj, sh)
         with np.errstate(all="ignore"):
-            sp2 = sp[:, :, :2] / sp[:, :, 2:3]
-        serr = np.linalg.norm(sp2 - pts2d[sample_rep], axis=2)
-        ok = np.isfinite(serr).all(axis=1) & (serr < inlier_t).all(axis=1)
-        if not ok.any():
+            proj = np.einsum(
+                "ij,bjk->bik", k, np.concatenate([r, tv[:, :, None]], axis=2)
+            )
+
+        # Device-batched scoring: sample-consistency gate
+        # (triangulation.rs:1110-1117) + reprojection sweep over all
+        # linked tracks, chunked on the hypothesis axis (ops.sfm_device).
+        counts, sums, ok = sfm_device.p3p_score(
+            proj,
+            pts2d[sample_rep],
+            pts3d[sample_rep],
+            pts3d,
+            pts2d,
+            const_err,
+            inlier_t,
+            points_t,
+        )
+        counts = np.where(ok, counts, 0)
+        if not counts.any():
             continue
-        proj = proj[ok]
-        r = r[ok]
-        tv = tv[ok]
-
-        # Score every candidate against all linked tracks.
-        h3d = np.concatenate([pts3d, np.ones((t, 1))], axis=1)
-        pp = np.einsum("bik,nk->bni", proj, h3d)  # (B, T, 3)
-        with np.errstate(all="ignore"):
-            pp2 = pp[:, :, :2] / pp[:, :, 2:3]
-            err = np.linalg.norm(pp2 - pts2d[None], axis=2)
-            err = np.maximum(err, const_err[None])
-        good = np.isfinite(err) & (err < points_t)
-        counts = good.sum(axis=1)
-        sums = np.where(good, err, 0.0).sum(axis=1)
         bi = int(np.argmax(counts))
         count = int(counts[bi])
         mean_err = float(sums[bi] / max(count, 1))
