@@ -227,6 +227,14 @@ class OutputConfig:
     """Meshing / writers (reference: output.rs:21)."""
 
     max_center_distance: float = 4.0  # clip projections this far off-image
+    # Affine surfaces are integer-grid samples: inside the valid region
+    # every unit-quad edge already satisfies the empty-circumcircle
+    # property, so the grid triangulation IS a Delaunay triangulation
+    # there and is computed directly (output.meshing.grid_mesh_polygons)
+    # instead of running Qhull (5-10 s at 1024^2). False restores the
+    # generic Delaunay, which additionally bridges holes and the convex
+    # hull with sliver triangles.
+    grid_mesh: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,4 +38,5 @@ def triangulate_affine(correlated_points: np.ndarray) -> Surface:
         points3d=points3d,
         tracks=tracks,
         cameras=[affine_camera(), affine_camera()],
+        grid_shape=(h, w),
     )

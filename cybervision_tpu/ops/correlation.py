@@ -1027,6 +1027,18 @@ def correlate_images(
         # depth-map fast lane consumes it there, skipping a 12 MB
         # device->host->device round trip over the TPU tunnel.
         return _pack_state(state_f)
+    h1f, w1f = src1.img.shape
+    h2f, w2f = src2.img.shape
+    if max(h1f, w1f, h2f, w2f) <= 4096:
+        # Positions fit 12 bits each: fetch one (H, W) int32 word per
+        # pixel (4 MB at 1024^2) instead of three planes (12 MB) — the
+        # tunnel transfer is the tail of the dense phase.
+        word = np.asarray(_pack_state_compact(state_f))
+        packed = np.empty((*word.shape, 3), np.int64)
+        packed[:, :, 0] = word & 0xFFF
+        packed[:, :, 1] = (word >> 12) & 0xFFF
+        packed[:, :, 2] = (word >> 24) & 1
+        return packed
     packed = np.asarray(_pack_state(state_f), np.int64)
     return packed
 
@@ -1044,6 +1056,16 @@ def _pack_state(state: CorrelationState):
     """(H, W, 3) int32 = (x2, y2, valid): one device->host fetch."""
     return jnp.concatenate(
         [state.pos, state.valid[:, :, None].astype(jnp.int32)], axis=2
+    )
+
+
+@jax.jit
+def _pack_state_compact(state: CorrelationState):
+    """(H, W) int32 = x2 | y2 << 12 | valid << 24 (coords < 4096)."""
+    return (
+        (state.pos[:, :, 0] & 0xFFF)
+        | ((state.pos[:, :, 1] & 0xFFF) << 12)
+        | (state.valid.astype(jnp.int32) << 24)
     )
 
 

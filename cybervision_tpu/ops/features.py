@@ -389,24 +389,33 @@ def extract_keypoints_pyramid_multi(
         for scale in pyramid_scales((w, h), cfg.keypoint_scale_min_size):
             by_scale.setdefault((scale, img.shape), []).append(idx)
 
-    pending = []  # (image_idx, scale, packed device array or slice)
+    pending = [[] for _ in images]  # per image: packed device arrays
     for (scale, shape), idxs in by_scale.items():
         scaled = jnp.stack([_device_resize(fulls[i], scale) for i in idxs])
         packed = _extract_batch(scaled, cfg)
+        # Truncating map back to full-res on device
+        # (reconstruction.rs:433-437), so all scales of an image
+        # concatenate into ONE (sum K, 11) fetch — each device->host
+        # round trip costs ~30 ms on the TPU tunnel.
+        packed = _to_fullres(packed, scale)
         for slot, idx in enumerate(idxs):
-            pending.append((idx, scale, packed[slot]))
+            pending[idx].append(packed[slot])
 
-    results = [([], []) for _ in images]
-    for idx, scale, packed in pending:
-        arr = np.asarray(packed)
+    results = []
+    for chunks in pending:
+        arr = np.asarray(
+            jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+        )
         valid = arr[:, 10] == 1
-        pts = arr[valid, 0:2]
+        pts = arr[valid, 0:2].astype(np.int64)
         desc = arr[valid, 2:10].view(np.uint32)
-        # Truncating map back to full-res (reconstruction.rs:433-437).
-        pts = (pts.astype(np.float32) / scale).astype(np.int64)
-        results[idx][0].append(pts)
-        results[idx][1].append(desc)
-    return [
-        (np.concatenate(p, axis=0), np.concatenate(d, axis=0))
-        for p, d in results
-    ]
+        results.append((pts, desc))
+    return results
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _to_fullres(packed: jnp.ndarray, scale: float) -> jnp.ndarray:
+    if scale == 1.0:
+        return packed
+    pts = (packed[..., 0:2].astype(jnp.float32) / scale).astype(jnp.int32)
+    return jnp.concatenate([pts, packed[..., 2:]], axis=-1)

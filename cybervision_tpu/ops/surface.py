@@ -120,6 +120,10 @@ class Surface:
     points3d: np.ndarray
     tracks: np.ndarray
     cameras: list
+    # Set when every track's camera-0 projection is its own integer grid
+    # pixel (the affine path): (h, w). Enables the direct grid Delaunay
+    # in output.meshing.grid_mesh_polygons.
+    grid_shape: tuple | None = None
 
     def __post_init__(self):
         assert self.points3d.ndim == 2 and self.points3d.shape[1] == 3

@@ -39,6 +39,59 @@ def img_range(
     )
 
 
+def grid_mesh_polygons(surface: Surface) -> np.ndarray:
+    """Direct Delaunay triangulation of an integer-grid surface.
+
+    The affine path samples one track per valid pixel, so camera-0
+    projections are points of the unit grid. Every edge and diagonal of a
+    fully-valid 2x2 quad has an empty circumcircle (no third integer
+    point fits inside a unit or sqrt2-diameter circle through two
+    adjacent corners), so splitting each valid quad into two triangles
+    yields a true Delaunay triangulation of the union of valid quads —
+    the 4 cocircular corners make the diagonal choice exactly the
+    tie-break freedom spade/Qhull also resolve arbitrarily
+    (output.rs:425). Quads with 3 valid corners emit that triangle.
+
+    Documented deviation: hull- and hole-bridging simplices, which a
+    global Delaunay run would add across unmeasured regions, are omitted
+    (they are long slivers spanning pixels with no correlation data).
+    """
+    h, w = surface.grid_shape
+    n = surface.n_points
+    xs = surface.tracks[:, 0, 0].astype(np.int64)
+    ys = surface.tracks[:, 0, 1].astype(np.int64)
+    idx = np.full((h, w), -1, np.int64)
+    idx[ys, xs] = np.arange(n)
+
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, :-1].ravel()
+    d = idx[1:, 1:].ravel()
+    va, vb, vc, vd = a >= 0, b >= 0, c >= 0, d >= 0
+    n_valid = (
+        va.astype(np.int8) + vb.astype(np.int8)
+        + vc.astype(np.int8) + vd.astype(np.int8)
+    )
+
+    tris = []
+    all4 = n_valid == 4
+    tris.append(np.stack([a[all4], b[all4], d[all4]], axis=1))
+    tris.append(np.stack([a[all4], d[all4], c[all4]], axis=1))
+    only3 = n_valid == 3
+    for present, corners in (
+        (va, (b, d, c)),
+        (vb, (a, d, c)),
+        (vc, (a, b, d)),
+        (vd, (a, b, c)),
+    ):
+        m = only3 & ~present
+        tris.append(np.stack([t[m] for t in corners], axis=1))
+
+    if not tris:
+        return np.zeros((0, 3), np.int32)
+    return canonical_polygons(np.concatenate(tris).astype(np.int32))
+
+
 def canonical_polygons(simplices: np.ndarray) -> np.ndarray:
     """Rotate each triangle so the smallest vertex index is first while
     preserving cyclic order (Polygon::new, output.rs:55-67)."""
@@ -192,6 +245,12 @@ def build_mesh(
             np.zeros((0, 3), np.int32),
             np.zeros((0,), np.int32),
         )
+
+    if output_cfg.grid_mesh and surface.grid_shape is not None:
+        polys = grid_mesh_polygons(surface)
+        if progress is not None:
+            progress.report_status(0.9)
+        return Mesh(surface, polys, np.zeros(len(polys), np.int32))
 
     all_polys = []
     all_cams = []

@@ -202,6 +202,9 @@ class Reconstruction:
                 )
                 surface.points3d = surface.points3d[keep]
                 surface.tracks = surface.tracks[keep]
+                # A subsampled surface is no longer a dense grid; meshing
+                # must fall back to the generic Delaunay.
+                surface.grid_shape = None
 
         self._write_output(surface, [0, 1])
 

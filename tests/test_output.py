@@ -95,6 +95,47 @@ def test_build_mesh_delaunay():
     assert len(mesh2.polygons) == 0
 
 
+def test_grid_mesh_polygons():
+    """The affine grid mesh is a valid Delaunay triangulation of the
+    union of valid quads: covers exactly that area, no duplicate or
+    degenerate triangles, unit-quad edge lengths only."""
+    h, w = 6, 7
+    grid = np.zeros((h, w, 3), np.int64)
+    grid[:, :, 0] = np.arange(w)[None, :] + 1  # disparity 1
+    grid[:, :, 1] = np.arange(h)[:, None]
+    grid[:, :, 2] = 1
+    grid[2, 3, 2] = 0  # a hole
+    grid[0, 0, 2] = 0  # a corner hole
+    s = triangulate_affine(grid)
+    polys = meshing.grid_mesh_polygons(s)
+
+    pts = s.tracks[:, 0].astype(np.float64)
+    tri_pts = pts[polys]  # (M, 3, 2)
+    # Signed areas are +-1/2 (grid triangles), never degenerate.
+    e1 = tri_pts[:, 1] - tri_pts[:, 0]
+    e2 = tri_pts[:, 2] - tri_pts[:, 0]
+    areas = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+    np.testing.assert_allclose(areas, 0.5)
+    # Total area = valid full quads + half-quads from 3-corner cases.
+    valid = grid[:, :, 2] == 1
+    quad_n = (
+        valid[:-1, :-1].astype(int) + valid[:-1, 1:]
+        + valid[1:, :-1] + valid[1:, 1:]
+    )
+    expect_area = (quad_n == 4).sum() * 1.0 + (quad_n == 3).sum() * 0.5
+    assert areas.sum() == expect_area
+    # Canonical rotation + uniqueness (same contract as build_mesh).
+    assert (polys.argmin(axis=1) == 0).all()
+    assert len({tuple(p) for p in polys}) == len(polys)
+    # The hole's pixel is in no triangle.
+    hole_idx = np.nonzero((s.tracks[:, 0, 0] == 3) & (s.tracks[:, 0, 1] == 2))
+    assert len(hole_idx[0]) == 0
+
+    # build_mesh dispatches to the grid path for grid surfaces.
+    mesh = meshing.build_mesh(s, [(w, h), (w, h)], InterpolationMode.DELAUNAY)
+    assert len(mesh.polygons) == len(polys)
+
+
 def _parse_ply(path):
     with open(path, "rb") as fh:
         data = fh.read()
