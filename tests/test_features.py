@@ -125,7 +125,22 @@ def test_descriptor_shift_invariance(rng):
     blurred, valid = features.gaussian_blur(jnp.asarray(img, dtype=jnp.int32), cfg)
     pts = jnp.asarray([[40, 40], [90, 80]], dtype=jnp.int32)
     angles, ok = features.orientations(blurred, valid, pts, cfg)
-    pattern = jnp.asarray(features.brief_pattern(cfg))
-    desc, dvalid = features.brief_descriptors(blurred, valid, pts, angles, pattern, cfg)
+    desc, dvalid = features.brief_descriptors(blurred, pts, angles, cfg)
     assert bool(ok.all()) and bool(dvalid.all())
     np.testing.assert_array_equal(np.asarray(desc[0]), np.asarray(desc[1]))
+
+
+def test_descriptor_rotation_binning(rng):
+    """Descriptors are constant within an angle bin and generally change
+    across bins (the binned rotated-BRIEF contract)."""
+    cfg = OrbConfig()
+    img = rng.randint(0, 256, (128, 128)).astype(np.uint8)
+    blurred, _ = features.gaussian_blur(jnp.asarray(img, dtype=jnp.int32), cfg)
+    pts = jnp.asarray([[64, 64]] * 3, dtype=jnp.int32)
+    step = 2 * np.pi / features.N_ANGLE_BINS
+    angles = jnp.asarray([0.0, 0.4 * step, 1.0 * step], jnp.float32)
+    desc, dvalid = features.brief_descriptors(blurred, pts, angles, cfg)
+    assert bool(dvalid.all())
+    d = np.asarray(desc)
+    np.testing.assert_array_equal(d[0], d[1])  # same bin
+    assert (d[0] != d[2]).any()  # neighboring bin rotates the pattern
