@@ -147,6 +147,13 @@ class CorrelationConfig:
     corridor_min_range_affine: float = 2.5
     corridor_min_range_perspective: float = 0.75
     cross_check_search_area: int = 4
+    # Mutual-consistency filter variant. False = interval-bound relaxation
+    # (separable per-axis min/max dilation + one gather; a strict superset
+    # of the exact survivors, see ops.correlation.cross_check). True = the
+    # reference-exact 9x9 window test (correlation/mod.rs:552-624) as a
+    # batched 81-offset gather — measurably slower on the gather-bound
+    # TPU path; tests/test_golden_parity.py records the match-count delta.
+    exact_cross_check: bool = False
     # Static half-width buckets for the per-pixel corridor window at refine
     # scales: the smallest bucket >= the observed max corridor length is
     # compiled (one XLA program per bucket per shape, cached).

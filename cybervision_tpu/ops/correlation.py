@@ -303,10 +303,23 @@ def _neighbor_stats(prev: CorrelationState, h: int, w: int, scale: float):
     a fixed 10x10 window. Positions enter in current-scale units
     (scale * full-res position).
 
-    Returns (count, mean_x, mean_y, var_x, var_y) at (h, w).
+    Returns (count, mean_x, mean_y, var_x, var_y, mean_src_x, mean_src_y)
+    at (h, w); mean_src_* are the mean current-scale coordinates of the
+    CONTRIBUTING previous-scale cells (cell q sits at 2q current pixels) —
+    the baseline that turns mean_x/mean_y into an unbiased local disparity
+    (the window [ceil(p/2)-5, ceil(p/2)+4] is off-center, so mean_x - p
+    carries a parity-dependent -0.5/-1 bias that mean_x - mean_src_x
+    cancels).
     """
     px = prev.pos[:, :, 0].astype(jnp.float32) * scale
     py = prev.pos[:, :, 1].astype(jnp.float32) * scale
+    hp, wp = prev.valid.shape
+    src_x = jnp.broadcast_to(
+        2.0 * jnp.arange(wp, dtype=jnp.float32)[None, :], (hp, wp)
+    )
+    src_y = jnp.broadcast_to(
+        2.0 * jnp.arange(hp, dtype=jnp.float32)[:, None], (hp, wp)
+    )
     v = prev.valid.astype(jnp.float32)
 
     def up_axis1(arr, j):
@@ -324,6 +337,8 @@ def _neighbor_stats(prev: CorrelationState, h: int, w: int, scale: float):
     sy = jnp.zeros((h, w), jnp.float32)
     sxx = jnp.zeros((h, w), jnp.float32)
     syy = jnp.zeros((h, w), jnp.float32)
+    ssx = jnp.zeros((h, w), jnp.float32)
+    ssy = jnp.zeros((h, w), jnp.float32)
 
     # Separable accumulation: first expand columns for all jx into row
     # accumulators, then expand rows for all jy.
@@ -332,6 +347,8 @@ def _neighbor_stats(prev: CorrelationState, h: int, w: int, scale: float):
     row_sy = jnp.zeros_like(row_cnt)
     row_sxx = jnp.zeros_like(row_cnt)
     row_syy = jnp.zeros_like(row_cnt)
+    row_ssx = jnp.zeros_like(row_cnt)
+    row_ssy = jnp.zeros_like(row_cnt)
     for jx in range(10):
         vv = up_axis1(v, jx)
         row_cnt += vv
@@ -339,19 +356,23 @@ def _neighbor_stats(prev: CorrelationState, h: int, w: int, scale: float):
         row_sy += up_axis1(py * v, jx)
         row_sxx += up_axis1(px * px * v, jx)
         row_syy += up_axis1(py * py * v, jx)
+        row_ssx += up_axis1(src_x * v, jx)
+        row_ssy += up_axis1(src_y * v, jx)
     for jy in range(10):
         cnt += up_axis0(row_cnt, jy)
         sx += up_axis0(row_sx, jy)
         sy += up_axis0(row_sy, jy)
         sxx += up_axis0(row_sxx, jy)
         syy += up_axis0(row_syy, jy)
+        ssx += up_axis0(row_ssx, jy)
+        ssy += up_axis0(row_ssy, jy)
 
     n = jnp.maximum(cnt, 1.0)
     mean_x = sx / n
     mean_y = sy / n
     var_x = jnp.maximum(sxx / n - mean_x * mean_x, 0.0)
     var_y = jnp.maximum(syy / n - mean_y * mean_y, 0.0)
-    return cnt, mean_x, mean_y, var_x, var_y
+    return cnt, mean_x, mean_y, var_x, var_y, ssx / n, ssy / n
 
 
 def _corridor_ranges(
@@ -367,7 +388,9 @@ def _corridor_ranges(
 ):
     """Per-pixel corridor [start, end) along the dominant axis
     (correlation/mod.rs:468-540). Returns (start, length, has_neighbors)."""
-    cnt, mean_x, mean_y, var_x, var_y = _neighbor_stats(prev, h, w, scale)
+    cnt, mean_x, mean_y, var_x, var_y, src_x, src_y = _neighbor_stats(
+        prev, h, w, scale
+    )
     vert = ep["vert"]
     # Corridor position of a neighbor match = its dominant-axis coordinate
     # minus `add`, with the dominant-axis coefficient being 1
@@ -378,17 +401,45 @@ def _corridor_ranges(
     mid = jnp.where(vert, mean_y, mean_x)
     stdev = jnp.sqrt(jnp.where(vert, var_y, var_x))
 
-    center = jnp.round(mid)
-    length = jnp.round(min_range + stdev * extend_range)
-    end_lim = jnp.where(vert, float(h2 - KS), float(w2 - KS))
-    start = jnp.clip(center - length, float(KS), end_lim)
-    end = jnp.clip(center + length, start, end_lim)
-    has = cnt > 0
     # The sweep anchors hypotheses at `center` (a smooth field that tracks
     # the epipolar-projected pixel position), NOT at `start`: the box
     # filter's locally-constant-flow requirement q(p+k) ~ q(p)+k only
     # holds for center-anchored candidates (`start` = center - length is
     # jagged because `length` varies pixel-to-pixel and clips at borders).
+    #
+    # Crucially the anchor must have SLOPE EXACTLY 1 along the dominant
+    # axis — center(p+u) == center(p)+u across the whole 11x11 NCC
+    # patch — or box11 blends intensities of adjacent hypotheses and
+    # corrupts the NCC (measured: ~40% of refine winners off by +-1 px
+    # vs the reference walk). No per-pixel anchor can satisfy this on a
+    # gradient disparity field: round(any smooth field) bends every
+    # 1/|grad| pixels, and most patches straddle a bend. So the anchor
+    # is GLOBALLY linear: p_dom + round(mean disparity) (one scalar per
+    # dominant-axis class), which makes the shifted base warp the exact
+    # candidate patch at every pixel. The per-pixel [start, end) masks
+    # still enforce the reference's corridors exactly, and the
+    # data-driven window buckets absorb the scene's disparity spread
+    # (wider spread -> wider static window, reference semantics intact).
+    ys_dom = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs_dom = jnp.arange(w, dtype=jnp.float32)[None, :]
+    dom = jnp.where(vert, ys_dom, xs_dom)
+    disp = jnp.where(vert, mean_y - src_y, mean_x - src_x)
+    hasf = (cnt > 0).astype(jnp.float32)
+    vf = vert.astype(jnp.float32) * hasf
+    hf = (1.0 - vert.astype(jnp.float32)) * hasf
+    d_vert = jnp.sum(disp * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+    d_horiz = jnp.sum(disp * hf) / jnp.maximum(jnp.sum(hf), 1.0)
+    center = dom + jnp.round(jnp.where(vert, d_vert, d_horiz))
+
+    # Range bounds keep the reference's round(mid) anchor exactly
+    # (mod.rs:530-538); the sweep's per-hypothesis idx_eval test enforces
+    # them regardless of where the anchor sits.
+    ref_center = jnp.round(mid)
+    length = jnp.round(min_range + stdev * extend_range)
+    end_lim = jnp.where(vert, float(h2 - KS), float(w2 - KS))
+    start = jnp.clip(ref_center - length, float(KS), end_lim)
+    end = jnp.clip(ref_center + length, start, end_lim)
+    has = cnt > 0
     return (
         center.astype(jnp.int32),
         start.astype(jnp.int32),
@@ -474,18 +525,28 @@ def refine_pass(
     base_y = jnp.where(vert, center, off0)
 
     n_o = 2 * corridor_size + 1
-    w0s, qxs, qys, inbs, sws, swws = [], [], [], [], [], []
+    w0s, qxs, qys, inbs, avgqs, sdqs = [], [], [], [], [], []
     for o in range(-corridor_size, corridor_size + 1):
         qx = base_x + jnp.where(vert, o, 0)
         qy = base_y + jnp.where(vert, 0, o)
         inb = (qx >= KS) & (qx < w2 - KS) & (qy >= KS) & (qy < h2 - KS)
-        w0 = img2[jnp.clip(qy, 0, h2 - 1), jnp.clip(qx, 0, w2 - 1)]
+        qyc = jnp.clip(qy, 0, h2 - 1)
+        qxc = jnp.clip(qx, 0, w2 - 1)
+        w0 = img2[qyc, qxc]
         w0s.append(w0)
         qxs.append(qx)
         qys.append(qy)
         inbs.append(inb)
-        sws.append(_box11(w0))
-        swws.append(_box11(w0 * w0))
+        # Candidate-window stats from the warp's own box sums. Under the
+        # globally-linear anchor the warp equals img2 around every
+        # in-range candidate, so these ARE the reference's precomputed
+        # avg/stdev at q (mod.rs:435-441) — verified equal to gathered
+        # img2 stats on the golden scene.
+        avg_o = _box11(w0) / KPC
+        avgqs.append(avg_o)
+        sdqs.append(jnp.sqrt(jnp.maximum(
+            _box11(w0 * w0) / KPC - avg_o * avg_o, 0.0
+        )))
 
     ys_idx = jnp.arange(h1, dtype=jnp.int32)[:, None]
     xs_idx = jnp.arange(w1, dtype=jnp.int32)[None, :]
@@ -510,8 +571,8 @@ def refine_pass(
         stacked = jnp.stack(
             [
                 w0s[oi],
-                sws[oi],
-                swws[oi],
+                avgqs[oi],
+                sdqs[oi],
                 qxs[oi].astype(jnp.float32),
                 qys[oi].astype(jnp.float32),
                 inbs[oi].astype(jnp.float32),
@@ -535,14 +596,11 @@ def refine_pass(
                 pstack, (zero, pw, pw + u), (7, h1, w1)
             )
             sl = jnp.where(vert[None], sl_y, sl_x)
-            wr, swr, swwr, qxf, qyf, inbr, idx_eval = (
+            wr, avg_w, sd_w, qxf, qyf, inbr, idx_eval = (
                 sl[0], sl[1], sl[2], sl[3], sl[4], sl[5], sl[6]
             )
 
             cross = _box11(img1 * wr)
-            avg_w = swr / KPC
-            var_w = jnp.maximum(swwr / KPC - avg_w * avg_w, 0.0)
-            sd_w = jnp.sqrt(var_w)
             corr = (cross / KPC - avg1 * avg_w) * inv_sd1 / jnp.maximum(
                 sd_w, 1e-12
             )
@@ -854,7 +912,7 @@ def optimal_scale_steps(dimensions: tuple[int, int], cfg=CorrelationConfig()):
     jax.jit,
     static_argnames=(
         "corridor_size", "window_f", "window_r", "first", "use_pallas",
-        "threshold", "min_stdev", "mesh",
+        "threshold", "min_stdev", "mesh", "exact_cross_check",
     ),
 )
 def pyramid_level_step(
@@ -875,6 +933,7 @@ def pyramid_level_step(
     first: bool,
     use_pallas: bool = False,
     mesh=None,
+    exact_cross_check: bool = False,
 ):
     """One full pyramid level — forward + reverse sweeps and both
     cross-checks fused into a single program (each dispatch over the TPU
@@ -908,8 +967,9 @@ def pyramid_level_step(
             im2, im1, state_r, f_rev, scale, threshold, min_stdev,
             min_range, extend_range, corridor_size, window_r,
         )
-    state_f = cross_check(state_f, state_r, scale)
-    state_r = cross_check(state_r, state_f, scale)
+    check = cross_check_exact if exact_cross_check else cross_check
+    state_f = check(state_f, state_r, scale)
+    state_r = check(state_r, state_f, scale)
     if mesh is not None:
         from cybervision_tpu.parallel import constrain_rows
 
@@ -1017,6 +1077,7 @@ def correlate_images(
             first=si == 0,
             use_pallas=level_pallas,
             mesh=mesh,
+            exact_cross_check=cfg.exact_cross_check,
         )
         done += scale * scale
         if progress is not None:

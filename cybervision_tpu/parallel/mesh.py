@@ -36,11 +36,18 @@ def pipeline_mesh(min_devices: int = 2) -> Mesh | None:
     The reference is single-device (correlation/gpu/mod.rs:10-19); this is
     the framework's scaling axis: RANSAC hypothesis slices, dense-sweep
     image rows, and the Hamming contraction all shard over 'dev'.
+
+    On the CPU backend the mesh is opt-in (CVTPU_SHARD=1): virtual host
+    devices emulate ICI with slow memcpy collectives, so auto-sharding
+    there only validates correctness (tests, the driver dryrun) — it is
+    never a production win the way real multi-chip TPU is.
     """
     if os.environ.get("CVTPU_NO_SHARD"):
         return None
     devices = jax.devices()
     if len(devices) < min_devices:
+        return None
+    if devices[0].platform == "cpu" and not os.environ.get("CVTPU_SHARD"):
         return None
     key = tuple(d.id for d in devices)
     if key not in _PIPELINE_MESH:

@@ -211,3 +211,29 @@ def empty_state(h0, w0):
         "corr": np.full((h0, w0), -1.0, np.float32),
         "valid": np.zeros((h0, w0), bool),
     }
+
+
+def correlate_images_oracle(
+    img1, img2, fmat, scales, resize, threshold=0.6, min_stdev=1.0,
+    corridor_size=2, min_range=2.5, extend_range=1.0,
+):
+    """Full coarse-to-fine driver with reference semantics
+    (correlation/mod.rs:217-245 per scale: forward step, reverse step,
+    cross-check Forward against unfiltered Reverse, then Reverse against
+    the already-filtered Forward). Returns the forward full-res state."""
+    h0, w0 = img1.shape
+    sf = empty_state(h0, w0)
+    sr = empty_state(h0, w0)
+    for si, s in enumerate(scales):
+        i1, i2 = resize(img1, s), resize(img2, s)
+        kw = dict(
+            threshold=threshold, min_stdev=min_stdev,
+            corridor_size=corridor_size, min_range=min_range,
+            extend_range=extend_range,
+        )
+        sf = correlate_step(i1, i2, fmat, s, sf, first_pass=(si == 0), **kw)
+        sr = correlate_step(i2, i1, fmat.T, s, sr, first_pass=(si == 0), **kw)
+        sf_new = cross_check(sf, sr, s)
+        sr = cross_check(sr, sf_new, s)
+        sf = sf_new
+    return sf

@@ -25,6 +25,13 @@ needs8 = pytest.mark.skipif(
 )
 
 
+@pytest.fixture(autouse=True)
+def _opt_into_cpu_sharding(monkeypatch):
+    """CPU-device sharding is opt-in (parallel/mesh.py) — these tests
+    exist to exercise it."""
+    monkeypatch.setenv("CVTPU_SHARD", "1")
+
+
 class _Img:
     def __init__(self, arr):
         self.img = np.round(arr).astype(np.uint8)
