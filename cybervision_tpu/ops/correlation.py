@@ -375,6 +375,37 @@ def _neighbor_stats(prev: CorrelationState, h: int, w: int, scale: float):
     return cnt, mean_x, mean_y, var_x, var_y, ssx / n, ssy / n
 
 
+_ANCHOR_BAND = 128
+
+
+def _band_means(disp: jnp.ndarray, weight: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Weighted mean of disp per _ANCHOR_BAND-wide band along `axis`,
+    broadcast back to full shape; empty bands fall back to the global
+    weighted mean. Images shorter than two bands along the axis get the
+    single global mean (no band edges to cut NCC patches)."""
+    h, w = disp.shape
+    n = disp.shape[axis]
+    b = _ANCHOR_BAND
+    nb = (n + b - 1) // b
+    if n < 2 * b:
+        nb, b = 1, n
+    pad = nb * b - n
+    if axis == 0:
+        dw = jnp.pad(disp * weight, ((0, pad), (0, 0))).reshape(nb, b, w)
+        ww = jnp.pad(weight, ((0, pad), (0, 0))).reshape(nb, b, w)
+        num = dw.sum(axis=(1, 2))
+        den = ww.sum(axis=(1, 2))
+    else:
+        dw = jnp.pad(disp * weight, ((0, 0), (0, pad))).reshape(h, nb, b)
+        ww = jnp.pad(weight, ((0, 0), (0, pad))).reshape(h, nb, b)
+        num = dw.sum(axis=(0, 2))
+        den = ww.sum(axis=(0, 2))
+    g = jnp.sum(num) / jnp.maximum(jnp.sum(den), 1.0)
+    band = jnp.where(den > 0, num / jnp.maximum(den, 1.0), g)
+    full = jnp.repeat(band, b)[:n]
+    return full[:, None] if axis == 0 else full[None, :]
+
+
 def _corridor_ranges(
     ep,
     prev: CorrelationState,
@@ -420,6 +451,13 @@ def _corridor_ranges(
     # still enforce the reference's corridors exactly, and the
     # data-driven window buckets absorb the scene's disparity spread
     # (wider spread -> wider static window, reference semantics intact).
+    # The anchor offset is constant per 64-wide band of the NON-dominant
+    # axis (rows for horizontal corridors): still exactly slope-1 along
+    # the dominant axis, but it tracks the disparity trend across the
+    # image (SEM tilt varies depth along the perpendicular axis), so the
+    # static window only has to cover the per-band spread, not the whole
+    # scene's. Patches straddling a band edge (11/64 of them) see at
+    # most the small inter-band step.
     ys_dom = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs_dom = jnp.arange(w, dtype=jnp.float32)[None, :]
     dom = jnp.where(vert, ys_dom, xs_dom)
@@ -427,8 +465,8 @@ def _corridor_ranges(
     hasf = (cnt > 0).astype(jnp.float32)
     vf = vert.astype(jnp.float32) * hasf
     hf = (1.0 - vert.astype(jnp.float32)) * hasf
-    d_vert = jnp.sum(disp * vf) / jnp.maximum(jnp.sum(vf), 1.0)
-    d_horiz = jnp.sum(disp * hf) / jnp.maximum(jnp.sum(hf), 1.0)
+    d_vert = _band_means(disp, vf, axis=1)  # vert: bands of columns
+    d_horiz = _band_means(disp, hf, axis=0)  # horizontal: bands of rows
     center = dom + jnp.round(jnp.where(vert, d_vert, d_horiz))
 
     # Range bounds keep the reference's round(mid) anchor exactly

@@ -65,8 +65,9 @@ def test_large_pair_texture_mesh_with_max_points(tmp_path):
     n_f = sum(1 for l in lines if l.startswith("f "))
     # --max-points caps the vertex count (reference shuffles + truncates).
     assert 0 < n_v <= max_points
-    # Texture mode writes vt lines and v/vt-indexed faces (output.rs:938-969).
-    assert n_vt == n_v
+    # Texture mode writes one vt PER PROJECTION of each track
+    # (output.rs:938-969); affine pair tracks carry both image points.
+    assert n_vt == 2 * n_v
     assert n_f > 1000
     assert any(l.startswith("usemtl ") for l in lines)
     assert any(l.startswith("mtllib ") for l in lines)
