@@ -46,6 +46,21 @@ _lib.rasterize_polygons_max.argtypes = [
     ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
     ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
 ]
+_lib.grid_mesh_triangles.argtypes = [
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,
+    ctypes.POINTER(ctypes.c_int32),
+]
+_lib.grid_mesh_triangles.restype = ctypes.c_long
+_lib.ply_pack_vertices.argtypes = [
+    ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+    ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+    ctypes.c_char_p,
+]
+_lib.ply_pack_vertices.restype = ctypes.c_long
+_lib.ply_pack_faces.argtypes = [
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_char_p,
+]
+_lib.ply_pack_faces.restype = ctypes.c_long
 _lib.format_obj_vertices.argtypes = [
     ctypes.POINTER(ctypes.c_double), ctypes.c_long,
     ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
@@ -88,6 +103,49 @@ def rasterize_polygons_max(out, pts, valid, polys) -> None:
         valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         polys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(polys),
     )
+
+
+def grid_mesh_triangles(idx: np.ndarray) -> np.ndarray:
+    """Triangulate the valid 2x2 quads of a (h, w) int32 pixel-index grid
+    (-1 = empty); canonical vertex rotation applied (output.rs:55-67)."""
+    idx = np.ascontiguousarray(idx, np.int32)
+    h, w = idx.shape
+    out = np.empty((2 * max(h - 1, 0) * max(w - 1, 0), 3), np.int32)
+    n = _lib.grid_mesh_triangles(
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out[:n]
+
+
+def ply_pack_vertices(points3d, out_scale, colors=None) -> bytes:
+    """BE-binary PLY vertex records: (x*s0, -y*s1, z*s2) doubles
+    (+ u8 RGB) per point (output.rs:738-742)."""
+    pts = np.ascontiguousarray(points3d, np.float64)
+    scale = np.ascontiguousarray(out_scale, np.float64)
+    n = len(pts)
+    per = 27 if colors is not None else 24
+    buf = ctypes.create_string_buffer(per * max(n, 1))
+    cptr = (
+        np.ascontiguousarray(colors, np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)
+        )
+        if colors is not None
+        else ctypes.POINTER(ctypes.c_uint8)()
+    )
+    written = _lib.ply_pack_vertices(_dptr(pts), n, _dptr(scale), cptr, buf)
+    return buf.raw[:written]
+
+
+def ply_pack_faces(faces) -> bytes:
+    """BE-binary PLY face records: u8 3 + reversed BE i32 indices
+    (output.rs:757-761). Pass UNreversed (v0, v1, v2) triangles."""
+    faces = np.ascontiguousarray(faces, np.int32)
+    buf = ctypes.create_string_buffer(13 * max(len(faces), 1))
+    written = _lib.ply_pack_faces(
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces), buf
+    )
+    return buf.raw[:written]
 
 
 def format_obj_vertices(verts, colors=None) -> str:

@@ -147,6 +147,86 @@ void rasterize_polygons_max(double *out, long h, long w, const double *pts,
   }
 }
 
+// Grid mesher: split every valid 2x2 quad of the pixel-index grid into
+// two triangles (3-valid quads emit one), canonical rotation (smallest
+// vertex index first, cyclic order kept — Polygon::new, output.rs:55-67)
+// applied inline. idx: (h, w) int32 row-major, -1 = no track at pixel.
+// out: (2*(h-1)*(w-1), 3) int32 capacity. Returns triangle count.
+static void emit_tri(int32_t a, int32_t b, int32_t c, int32_t *&p) {
+  // rotate so the smallest index is first, preserving cyclic order
+  if (b < a && b <= c) {
+    p[0] = b; p[1] = c; p[2] = a;
+  } else if (c < a && c < b) {
+    p[0] = c; p[1] = a; p[2] = b;
+  } else {
+    p[0] = a; p[1] = b; p[2] = c;
+  }
+  p += 3;
+}
+
+long grid_mesh_triangles(const int32_t *idx, long h, long w, int32_t *out) {
+  int32_t *p = out;
+  for (long y = 0; y + 1 < h; y++) {
+    const int32_t *r0 = idx + y * w;
+    const int32_t *r1 = r0 + w;
+    for (long x = 0; x + 1 < w; x++) {
+      int32_t a = r0[x], b = r0[x + 1], c = r1[x], d = r1[x + 1];
+      int n = (a >= 0) + (b >= 0) + (c >= 0) + (d >= 0);
+      if (n == 4) {
+        emit_tri(a, b, d, p);
+        emit_tri(a, d, c, p);
+      } else if (n == 3) {
+        if (a < 0) emit_tri(b, d, c, p);
+        else if (b < 0) emit_tri(a, d, c, p);
+        else if (c < 0) emit_tri(a, b, d, p);
+        else emit_tri(a, b, c, p);
+      }
+    }
+  }
+  return (p - out) / 3;
+}
+
+// Binary big-endian PLY body (output.rs:686-772): per vertex 3 BE
+// doubles (x*s0, -y*s1, z*s2) + optional RGB u8 triple; per face a u8 3
+// followed by the BE i32 vertex indices REVERSED (output.rs:757-761).
+// Single pass into a caller-sized buffer; returns bytes written.
+long ply_pack_vertices(const double *pts, long n, const double *scale,
+                       const uint8_t *colors, char *out) {
+  char *p = out;
+  const double sx = scale[0], sy = -scale[1], sz = scale[2];
+  for (long i = 0; i < n; i++) {
+    const double v[3] = {pts[i * 3] * sx, pts[i * 3 + 1] * sy,
+                         pts[i * 3 + 2] * sz};
+    for (int k = 0; k < 3; k++) {
+      uint64_t bits;
+      std::memcpy(&bits, &v[k], 8);
+      bits = __builtin_bswap64(bits);
+      std::memcpy(p, &bits, 8);
+      p += 8;
+    }
+    if (colors) {
+      std::memcpy(p, colors + i * 3, 3);
+      p += 3;
+    }
+  }
+  return p - out;
+}
+
+long ply_pack_faces(const int32_t *faces, long m, char *out) {
+  char *p = out;
+  for (long i = 0; i < m; i++) {
+    *p++ = 3;
+    for (int k = 2; k >= 0; k--) {
+      uint32_t b;
+      std::memcpy(&b, &faces[i * 3 + k], 4);
+      b = __builtin_bswap32(b);
+      std::memcpy(p, &b, 4);
+      p += 4;
+    }
+  }
+  return p - out;
+}
+
 static char *write_double(char *p, double v) {
   auto res = std::to_chars(p, p + 64, v);
   return res.ptr;

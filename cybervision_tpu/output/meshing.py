@@ -60,8 +60,18 @@ def grid_mesh_polygons(surface: Surface) -> np.ndarray:
     n = surface.n_points
     xs = surface.tracks[:, 0, 0].astype(np.int64)
     ys = surface.tracks[:, 0, 1].astype(np.int64)
-    idx = np.full((h, w), -1, np.int64)
-    idx[ys, xs] = np.arange(n)
+    idx = np.full((h, w), -1, np.int32)
+    idx[ys, xs] = np.arange(n, dtype=np.int32)
+
+    try:
+        from cybervision_tpu.native import grid_mesh_triangles
+    except ImportError:
+        grid_mesh_triangles = None
+    if grid_mesh_triangles is not None:
+        # Same triangle set as the numpy path below, emitted quad-by-quad
+        # in one C pass (the numpy path's 6 intermediate 2M-row arrays
+        # cost ~1 s on the bursty host vCPU).
+        return grid_mesh_triangles(idx)
 
     a = idx[:-1, :-1].ravel()
     b = idx[:-1, 1:].ravel()
