@@ -151,8 +151,11 @@ class CorrelationConfig:
     # (separable per-axis min/max dilation + one gather; a strict superset
     # of the exact survivors, see ops.correlation.cross_check). True = the
     # reference-exact 9x9 window test (correlation/mod.rs:552-624) as a
-    # batched 81-offset gather — measurably slower on the gather-bound
-    # TPU path; tests/test_golden_parity.py records the match-count delta.
+    # batched 81-offset gather. Measured on a v5e at 1024^2 (affine
+    # pyramid): 0.64 s relaxed vs 8.6 s exact — far over the 10% budget
+    # that would justify flipping the default, so the relaxation stays;
+    # tests/test_golden_parity.py bounds its effect (<10% extra matches,
+    # same 1% depth budget).
     exact_cross_check: bool = False
     # Static half-width buckets for the per-pixel corridor window at refine
     # scales: the smallest bucket >= the observed max corridor length is

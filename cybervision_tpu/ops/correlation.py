@@ -506,9 +506,171 @@ def _shift(x, u, axis):
     return jnp.pad(x, pad)[tuple(sl)]
 
 
+def warp_shift_range(
+    f: np.ndarray, scale: float, h: int, w: int, h2: int, w2: int
+) -> tuple[str, int, int] | None:
+    """Host-side test: can the stripe base warps be built from shifts +
+    selects instead of 2D gathers?
+
+    XLA:TPU gathers cost ~15ns/element — the five 1-Mpix stripe gathers
+    were 84 ms of the 114 ms refine step at 1024^2, dwarfing the sweep
+    itself. For an affine F (zero 2x2 upper block, fundamentalmatrix.rs:
+    260-286) the epipolar fields are globally linear: the dominant axis
+    is uniform, the along-axis base coordinate is p + D_band (a dynamic
+    slice per anchor band), and the perpendicular offset
+    t = floor(coeff*center + add) - p_perp is bounded by corner
+    evaluation plus |coeff|*Dmax. Returns ("vert"|"horiz", tmin, tmax)
+    when the bound is tight enough for a select stack, else None (gather
+    fallback; perspective F stays on the gather path).
+    """
+    fa = np.abs(np.asarray(f, np.float64))
+    if fa[:2, :2].max() > 1e-9 * max(fa.max(), 1e-30):
+        return None
+    a = float(f[0, 2])
+    b = float(f[1, 2])
+    if a == 0.0 and b == 0.0:
+        return None
+    vert = abs(a) > abs(b)
+    denom = a if vert else b
+    coeff = (-b if vert else -a) / denom
+    vals = []
+    for x in (0.0, float(w - 1)):
+        for y in (0.0, float(h - 1)):
+            sc = f[2, 0] * x + f[2, 1] * y + scale * f[2, 2]
+            add = -sc / denom
+            if vert:
+                vals.append(coeff * y + add - x)
+            else:
+                vals.append(coeff * x + add - y)
+    dmax = float(max(h2, w2))
+    lo = min(vals) - abs(coeff) * dmax
+    hi = max(vals) + abs(coeff) * dmax
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        return None
+    tmin = int(np.floor(lo))
+    tmax = int(np.floor(hi))
+    if tmax - tmin + 1 > 8:
+        return None
+    return ("vert" if vert else "horiz", tmin, tmax)
+
+
+def _stripe_warps_fast(
+    img2f: jnp.ndarray,
+    center: jnp.ndarray,
+    t_src: jnp.ndarray,
+    corridor_size: int,
+    tmin: int,
+    tmax: int,
+    h1: int,
+) -> list[jnp.ndarray]:
+    """Gather-free stripe base warps, dominant axis = columns (horizontal
+    corridors): W0_o(y, x) = img2[y + t(y, x) + o, x + D_band(y)].
+
+    Per anchor band (the same _ANCHOR_BAND banding as _corridor_ranges,
+    where center == x + D_band by construction) one dynamic slice applies
+    the along-axis offset D; the perpendicular offset t in [tmin, tmax]
+    becomes static row shifts of the slice combined with equality
+    selects (none at all when the range is a single value, e.g. a
+    rectified horizontal-shift pair). The vert case runs this on
+    transposed arrays.
+    """
+    cs = corridor_size
+    k_n = tmax - tmin + 1
+    h2, w2 = img2f.shape
+    w1 = center.shape[1]
+    # Row pad covers the t/stripe reach plus any img1/img2 height
+    # mismatch so no dynamic_slice start ever clamps (clamping would
+    # silently misalign rows instead of reading the zero margin).
+    pr = max(cs - tmin, tmax + cs) + 1 + abs(h1 - h2)
+    xp = max(w1, w2)
+    imgp = jnp.pad(img2f, ((pr, pr), (xp, xp)))
+
+    b = _ANCHOR_BAND if h1 >= 2 * _ANCHOR_BAND else max(h1, 1)
+    nb = (h1 + b - 1) // b
+
+    rows_idx = jnp.arange(h1, dtype=jnp.int32)[:, None]
+    t_field = t_src - rows_idx  # (h1, w1) int32
+
+    stripe_bands: list[list[jnp.ndarray]] = [
+        [] for _ in range(2 * cs + 1)
+    ]
+    for i in range(nb):
+        r0 = i * b
+        rows = min(b, h1 - r0)
+        # D_band == center - x (center = x + D by construction); clamp so
+        # a garbage previous-scale state can't push the slice start out
+        # of the padded range (those candidates are inb-masked anyway).
+        d_i = jnp.clip(center[r0, 0], -xp, xp + w2 - w1)
+        blk = jax.lax.dynamic_slice(
+            imgp,
+            (jnp.int32(r0 + tmin - cs + pr), jnp.int32(xp) + d_i),
+            (rows + k_n - 1 + 2 * cs, w1),
+        )
+        t_band = t_field[r0 : r0 + rows]
+        for oi, o in enumerate(range(-cs, cs + 1)):
+            acc = None
+            for k in range(tmin, tmax + 1):
+                off = k + o - tmin + cs
+                sl = jax.lax.slice(
+                    blk, (off, 0), (off + rows, w1)
+                )
+                if k_n == 1:
+                    acc = sl
+                else:
+                    acc = sl if acc is None else jnp.where(
+                        t_band == k, sl, acc
+                    )
+            stripe_bands[oi].append(acc)
+    return [
+        parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        for parts in stripe_bands
+    ]
+
+
+def _stripe_warps(
+    img2f: jnp.ndarray,
+    vert: jnp.ndarray,
+    center: jnp.ndarray,
+    base_x: jnp.ndarray,
+    base_y: jnp.ndarray,
+    corridor_size: int,
+    h2: int,
+    w2: int,
+    warp_trange: tuple[str, int, int] | None,
+) -> list[jnp.ndarray]:
+    """Stripe base-warp stack W0_o (one image per lateral stripe o).
+    warp_trange (from warp_shift_range, static) selects the shift/select
+    fast path; None gathers (correct for any epipolar geometry)."""
+    cs = corridor_size
+    if warp_trange is not None:
+        axis, tmin, tmax = warp_trange
+        if axis == "horiz":
+            return _stripe_warps_fast(
+                img2f, center, base_y, cs, tmin, tmax, center.shape[0]
+            )
+        w0s_t = _stripe_warps_fast(
+            img2f.T,
+            center.T,
+            base_x.T,
+            cs,
+            tmin,
+            tmax,
+            center.shape[1],
+        )
+        return [w.T for w in w0s_t]
+    out = []
+    for o in range(-cs, cs + 1):
+        qx = base_x + jnp.where(vert, o, 0)
+        qy = base_y + jnp.where(vert, 0, o)
+        out.append(
+            img2f[jnp.clip(qy, 0, h2 - 1), jnp.clip(qx, 0, w2 - 1)]
+        )
+    return out
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("corridor_size", "window"),
+    static_argnames=("corridor_size", "window", "warp_trange"),
 )
 def refine_pass(
     img1: jnp.ndarray,
@@ -522,6 +684,7 @@ def refine_pass(
     extend_range: float,
     corridor_size: int,
     window: int,
+    warp_trange: tuple[str, int, int] | None = None,
 ) -> CorrelationState:
     """One refine-scale sweep. `window` is the static corridor half-width
     bucket; per-pixel ranges beyond it are truncated (callers pick the
@@ -563,15 +726,15 @@ def refine_pass(
     base_y = jnp.where(vert, center, off0)
 
     n_o = 2 * corridor_size + 1
-    w0s, qxs, qys, inbs, avgqs, sdqs = [], [], [], [], [], []
-    for o in range(-corridor_size, corridor_size + 1):
+    w0s = _stripe_warps(
+        img2, vert, center, base_x, base_y, corridor_size, h2, w2,
+        warp_trange,
+    )
+    qxs, qys, inbs, avgqs, sdqs = [], [], [], [], []
+    for oi, o in enumerate(range(-corridor_size, corridor_size + 1)):
         qx = base_x + jnp.where(vert, o, 0)
         qy = base_y + jnp.where(vert, 0, o)
         inb = (qx >= KS) & (qx < w2 - KS) & (qy >= KS) & (qy < h2 - KS)
-        qyc = jnp.clip(qy, 0, h2 - 1)
-        qxc = jnp.clip(qx, 0, w2 - 1)
-        w0 = img2[qyc, qxc]
-        w0s.append(w0)
         qxs.append(qx)
         qys.append(qy)
         inbs.append(inb)
@@ -580,10 +743,10 @@ def refine_pass(
         # in-range candidate, so these ARE the reference's precomputed
         # avg/stdev at q (mod.rs:435-441) — verified equal to gathered
         # img2 stats on the golden scene.
-        avg_o = _box11(w0) / KPC
+        avg_o = _box11(w0s[oi]) / KPC
         avgqs.append(avg_o)
         sdqs.append(jnp.sqrt(jnp.maximum(
-            _box11(w0 * w0) / KPC - avg_o * avg_o, 0.0
+            _box11(w0s[oi] * w0s[oi]) / KPC - avg_o * avg_o, 0.0
         )))
 
     ys_idx = jnp.arange(h1, dtype=jnp.int32)[:, None]
@@ -682,7 +845,8 @@ def refine_pass(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "corridor_size", "window", "interpret", "threshold", "min_stdev"
+        "corridor_size", "window", "interpret", "threshold", "min_stdev",
+        "warp_trange",
     ),
 )
 def refine_pass_pallas(
@@ -698,6 +862,7 @@ def refine_pass_pallas(
     corridor_size: int,
     window: int,
     interpret: bool = False,
+    warp_trange: tuple[str, int, int] | None = None,
 ) -> CorrelationState:
     """refine_pass with the sweep running as the Pallas kernel
     (ops.pallas_ncc.ncc_sweep): same prologue (stats, epipolar fields,
@@ -722,12 +887,10 @@ def refine_pass_pallas(
     off0 = jnp.floor(ep["coeff"] * c_f + ep["add"]).astype(jnp.int32)
     base_x = jnp.where(vert, off0, center)
     base_y = jnp.where(vert, center, off0)
-    w0s = []
-    for o in range(-corridor_size, corridor_size + 1):
-        qx = base_x + jnp.where(vert, o, 0)
-        qy = base_y + jnp.where(vert, 0, o)
-        w0s.append(img2[jnp.clip(qy, 0, h2 - 1), jnp.clip(qx, 0, w2 - 1)])
-    w0 = jnp.stack(w0s)
+    w0 = jnp.stack(_stripe_warps(
+        img2, vert, center, base_x, base_y, corridor_size, h2, w2,
+        warp_trange,
+    ))
 
     best_corr, best_x, best_y = pallas_ncc.ncc_sweep(
         img1,
@@ -951,6 +1114,7 @@ def optimal_scale_steps(dimensions: tuple[int, int], cfg=CorrelationConfig()):
     static_argnames=(
         "corridor_size", "window_f", "window_r", "first", "use_pallas",
         "threshold", "min_stdev", "mesh", "exact_cross_check",
+        "warp_trange_f", "warp_trange_r",
     ),
 )
 def pyramid_level_step(
@@ -972,6 +1136,8 @@ def pyramid_level_step(
     use_pallas: bool = False,
     mesh=None,
     exact_cross_check: bool = False,
+    warp_trange_f: tuple[str, int, int] | None = None,
+    warp_trange_r: tuple[str, int, int] | None = None,
 ):
     """One full pyramid level — forward + reverse sweeps and both
     cross-checks fused into a single program (each dispatch over the TPU
@@ -1000,10 +1166,12 @@ def pyramid_level_step(
         state_f = sweep(
             im1, im2, state_f, f_fwd, scale, threshold, min_stdev,
             min_range, extend_range, corridor_size, window_f,
+            warp_trange=warp_trange_f,
         )
         state_r = sweep(
             im2, im1, state_r, f_rev, scale, threshold, min_stdev,
             min_range, extend_range, corridor_size, window_r,
+            warp_trange=warp_trange_r,
         )
     check = cross_check_exact if exact_cross_check else cross_check
     state_f = check(state_f, state_r, scale)
@@ -1109,6 +1277,8 @@ def correlate_images(
             wmax = max(im1.shape[1], im2.shape[1])
             if pick_tile_h(wmax, max(win_f, win_r), cs) is None:
                 level_pallas = False  # working set over VMEM: scan path
+        lh1, lw1 = im1.shape
+        lh2, lw2 = im2.shape
         state_f, state_r = pyramid_level_step(
             im1, im2, state_f, state_r, f_fwd, f_rev, scale, threshold,
             min_stdev, min_range, extend_range, cs, win_f, win_r,
@@ -1116,6 +1286,17 @@ def correlate_images(
             use_pallas=level_pallas,
             mesh=mesh,
             exact_cross_check=cfg.exact_cross_check,
+            # Gather-free warps assume unsharded arrays (the per-band
+            # dynamic slices would cross shard boundaries); the sharded
+            # path keeps the gather form GSPMD knows how to partition.
+            warp_trange_f=(
+                None if mesh is not None
+                else warp_shift_range(f, scale, lh1, lw1, lh2, lw2)
+            ),
+            warp_trange_r=(
+                None if mesh is not None
+                else warp_shift_range(f.T, scale, lh2, lw2, lh1, lw1)
+            ),
         )
         done += scale * scale
         if progress is not None:

@@ -503,6 +503,21 @@ def ransac_batch_sharded(
     )
 
 
+@jax.jit
+def _pack_candidates(f_b, count_b, err_b):
+    """(K, 11) f32: flattened F (9) + count + err — a single-fetch
+    payload (counts are < 2^24, exact in f32)."""
+    k = f_b.shape[0]
+    return jnp.concatenate(
+        [
+            f_b.reshape(k, 9).astype(jnp.float32),
+            count_b.reshape(k, 1).astype(jnp.float32),
+            err_b.reshape(k, 1).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def _merge_topk(fs, cs, es, threshold, top_k: int):
     """Cross-device top-K merge by the same score rule as ransac_batch."""
@@ -610,11 +625,22 @@ class FundamentalMatrixResult:
     matches_count: int
 
 
+def _sampson_np(f: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """sampson_error in plain f64 numpy — the match pools are small
+    (<= ~10k rows), so a host evaluation beats a device round trip on
+    the TPU tunnel (~30 ms/fetch)."""
+    ones = np.ones((p1.shape[0], 1), np.float64)
+    h1 = np.concatenate([p1, ones], axis=1)
+    h2 = np.concatenate([p2, ones], axis=1)
+    f_p1 = h1 @ f.T
+    ft_p2 = h2 @ f
+    num = np.einsum("mi,mi->m", f_p1, h2) ** 2
+    den = f_p1[:, 0] ** 2 + f_p1[:, 1] ** 2 + ft_p2[:, 0] ** 2 + ft_p2[:, 1] ** 2
+    return num / den
+
+
 def _score_inliers(f, p1, p2, threshold):
-    err = np.asarray(
-        sampson_error(jnp.asarray(f, jnp.float64), jnp.asarray(p1, jnp.float64),
-                      jnp.asarray(p2, jnp.float64))
-    )
+    err = _sampson_np(np.asarray(f, np.float64), p1, p2)
     return np.isfinite(err) & (err <= threshold)
 
 
@@ -686,9 +712,13 @@ def find_fundamental_matrix(
             t2=t2,
             top_k=want_k,
         )
-        fs = np.asarray(f_b, np.float64)
-        counts = np.asarray(count_b)
-        errs = np.asarray(err_b, np.float64)
+        # One fetch per batch: pack (f, count, err) into a single (K, 11)
+        # device array (three separate np.asarray's pay three ~30 ms
+        # tunnel round trips).
+        packed_b = np.asarray(_pack_candidates(f_b, count_b, err_b))
+        fs = packed_b[:, 0:9].astype(np.float64).reshape(-1, 3, 3)
+        counts = packed_b[:, 9].astype(np.int64)
+        errs = packed_b[:, 10].astype(np.float64)
         for j in range(len(counts)):
             if counts[j] > 0:
                 pool.append((fs[j], int(counts[j]), float(errs[j])))
@@ -721,13 +751,7 @@ def find_fundamental_matrix(
             refined = _lm_refine_f(f0, pts1[fits0], pts2[fits0])
             if refined is None:
                 continue
-            err = np.asarray(
-                sampson_error(
-                    jnp.asarray(refined, jnp.float64),
-                    jnp.asarray(pts1, jnp.float64),
-                    jnp.asarray(pts2, jnp.float64),
-                )
-            )
+            err = _sampson_np(refined, pts1, pts2)
             fits_r = np.isfinite(err) & (err <= t)
             c_r = int(fits_r.sum())
             if c_r:

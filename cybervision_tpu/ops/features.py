@@ -497,24 +497,40 @@ def extract_keypoints_pyramid_multi(
         pts, counts = _detect_batch(scaled, cfg)
         detected.append((scale, idxs, scaled, pts, counts))
 
+    # All detection groups are dispatched above; sync their corner counts
+    # in ONE fetch (each device->host round trip costs ~30 ms on the TPU
+    # tunnel, and there is one group per pyramid scale).
+    all_counts = np.asarray(
+        jnp.concatenate([d[4].ravel() for d in detected])
+        if len(detected) > 1
+        else detected[0][4].ravel()
+    )
     pending = [[] for _ in images]  # per image: packed device arrays
+    off = 0
     for scale, idxs, scaled, pts, counts in detected:
-        max_count = int(np.max(np.asarray(counts)))
+        n_grp = counts.size
+        max_count = int(all_counts[off : off + n_grp].max())
+        off += n_grp
         k = _k_bucket(max_count, cfg.max_keypoints)
         packed = _describe_batch(scaled, pts, counts, cfg, k)
         # Truncating map back to full-res on device
-        # (reconstruction.rs:433-437), so all scales of an image
-        # concatenate into ONE (sum K, 11) fetch — each device->host
-        # round trip costs ~30 ms on the TPU tunnel.
+        # (reconstruction.rs:433-437).
         packed = _to_fullres(packed, scale)
         for slot, idx in enumerate(idxs):
             pending[idx].append(packed[slot])
 
+    # Every image's every-scale packed rows, concatenated device-side and
+    # synced in ONE fetch; chunk shapes are static, so the host splits.
+    sizes = [sum(c.shape[0] for c in chunks) for chunks in pending]
+    flat = [c for chunks in pending for c in chunks]
+    arr_all = np.asarray(
+        jnp.concatenate(flat, axis=0) if len(flat) > 1 else flat[0]
+    )
     results = []
-    for chunks in pending:
-        arr = np.asarray(
-            jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
-        )
+    pos = 0
+    for size in sizes:
+        arr = arr_all[pos : pos + size]
+        pos += size
         valid = arr[:, 10] == 1
         pts = arr[valid, 0:2].astype(np.int64)
         desc = arr[valid, 2:10].view(np.uint32)

@@ -180,6 +180,8 @@ class Reconstruction:
             self.cfg.interpolation == InterpolationMode.NONE
             and not lower.endswith((".ply", ".obj"))
         )
+        if not fast_lane:
+            self._prefetch_rgb([0, 1])
         correlated = self.correlate_pair(0, 1, pair.f, device_out=fast_lane)
 
         if fast_lane:
@@ -276,13 +278,36 @@ class Reconstruction:
         linked_sorted = sorted(linked)
         self._write_output(surface, linked_sorted, linked_sorted.index(linked[0]))
 
+    def _prefetch_rgb(self, linked_images: list[int]) -> None:
+        """Decode the output-phase RGB images on a thread while the
+        device works (PIL decode overlaps the dense dispatch)."""
+        import threading
+
+        results: dict[int, np.ndarray] = {}
+
+        def work():
+            for i in linked_images:
+                results[i] = SourceImage.load_rgb(self.filenames[i])
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        self._rgb_prefetch = (t, results)
+
+    def _take_rgb(self, linked_images: list[int]) -> list[np.ndarray]:
+        pre = getattr(self, "_rgb_prefetch", None)
+        if pre is not None:
+            t, results = pre
+            t.join()
+            self._rgb_prefetch = None
+            if all(i in results for i in linked_images):
+                return [results[i] for i in linked_images]
+        return [SourceImage.load_rgb(self.filenames[i]) for i in linked_images]
+
     def _write_output(
         self, surface, linked_images: list[int], project_to: int = 0
     ) -> None:
         with PhaseTimer("Saved result", self.quiet):
-            images_rgb = [
-                SourceImage.load_rgb(self.filenames[i]) for i in linked_images
-            ]
+            images_rgb = self._take_rgb(linked_images)
             output_surface(
                 surface,
                 self._out_scale(),

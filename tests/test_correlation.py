@@ -324,3 +324,61 @@ def test_correlate_images_end_to_end(rng):
     assert np.median(err) <= 1.0
     err_y = np.abs(out[:, :, 1][valid] - ys)
     assert np.median(err_y) <= 1.0
+
+
+def test_stripe_warps_fast_matches_gather(rng):
+    """The shift/select warp fast path (warp_shift_range) must equal the
+    gather path at every pixel whose candidate is in-bounds, for
+    horizontal, rotated-affine, and vertical epipolar geometries."""
+    h, w = 96, 80
+    img1, img2 = _shifted_pair(rng, h, w, 3)
+    f_rot = np.array(
+        [[0, 0, 0.004], [0, 0, 1.0], [0.002, -1.0, 2.0]], np.float64
+    )
+    for fmat, name in [
+        (F_HSHIFT, "horiz"),
+        (f_rot, "rot"),
+        (F_HSHIFT.T, "vert"),
+    ]:
+        fmat = corr.normalize_f(fmat)
+        trange = corr.warp_shift_range(fmat, 1.0, h, w, h, w)
+        assert trange is not None, name
+        hp, wp = h // 2, w // 2
+        prev_pos = np.zeros((hp, wp, 2), np.int32)
+        for qy in range(hp):
+            for qx in range(wp):
+                if name == "vert":
+                    prev_pos[qy, qx] = (2 * qx, max(2 * qy - 3, 0))
+                else:
+                    prev_pos[qy, qx] = (max(2 * qx - 3, 0), 2 * qy)
+        prev = corr.CorrelationState(
+            pos=jnp.asarray(prev_pos),
+            corr=jnp.ones((hp, wp), jnp.float32),
+            valid=jnp.ones((hp, wp), bool),
+        )
+        args = (
+            jnp.asarray(img1), jnp.asarray(img2), prev,
+            jnp.asarray(fmat, jnp.float32), 1.0, 0.6, 1.0, 2.5, 1.0, 2, 8,
+        )
+        st_gather = corr.refine_pass(*args, warp_trange=None)
+        st_fast = corr.refine_pass(*args, warp_trange=trange)
+        np.testing.assert_array_equal(
+            np.asarray(st_gather.valid), np.asarray(st_fast.valid), name
+        )
+        both = np.asarray(st_gather.valid)
+        np.testing.assert_array_equal(
+            np.asarray(st_gather.pos)[both], np.asarray(st_fast.pos)[both],
+            name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_gather.corr)[both],
+            np.asarray(st_fast.corr)[both],
+            atol=1e-5, err_msg=name,
+        )
+
+
+def test_warp_shift_range_rejects_perspective():
+    f_persp = np.array(
+        [[1e-4, 2e-4, 0.3], [-2e-4, 1.5e-4, 1.0], [-0.25, -1.1, 12.0]]
+    )
+    assert corr.warp_shift_range(f_persp, 1.0, 100, 100, 100, 100) is None
