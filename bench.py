@@ -140,7 +140,7 @@ def main():
         # stable minimum.
         ply_s = min(
             run(p1, p2, os.path.join(td, f"out{i}.ply"), cfg_ply)
-            for i in range(5)
+            for i in range(8)
         )
         mpix_s, corr_s = correlation_throughput(p1, p2)
 

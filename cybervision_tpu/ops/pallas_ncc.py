@@ -147,6 +147,13 @@ def _sweep_kernel(
         t, tok = carry
         row0 = t * jnp.int32(tile_h)
 
+        # Single-buffered DMA by measurement, not oversight: the per-tile
+        # working set is ~3 MB against ~1.7 ms of u-loop compute, so the
+        # copy wait is <10% of the tile — the profiled bottleneck of the
+        # refine step was the XLA stripe-warp gathers feeding this kernel
+        # (84 ms vs 27 ms of sweep at 1024^2), eliminated in
+        # correlation._stripe_warps. Double-buffering these copies would
+        # recover at most that <10%.
         copies = [
             pltpu.make_async_copy(
                 img1_hbm.at[pl.ds(row0, r_img), :], s_img, sems.at[jnp.int32(0)]
