@@ -59,9 +59,13 @@ def run(p1, p2, out_path, cfg):
     return time.time() - t0
 
 
-def correlation_throughput(p1, p2, n_runs=3):
+def correlation_throughput(p1, p2, n_runs=3, projection=None):
     """Dense-correlation Mpix/s per chip: processed pixels (both
-    directions x every pyramid level) / sweep wall-clock."""
+    directions x every pyramid level) / sweep wall-clock.
+
+    projection selects the parameter set: AFFINE (corridor_size 2, the
+    north-star config) or PERSPECTIVE (corridor_size 4, wider per-pixel
+    windows — the heavier path, correlation/mod.rs:24-25)."""
     import jax
 
     from cybervision_tpu.config import (
@@ -72,6 +76,8 @@ def correlation_throughput(p1, p2, n_runs=3):
     from cybervision_tpu.images import SourceImage
     from cybervision_tpu.ops import correlation
 
+    if projection is None:
+        projection = ProjectionMode.AFFINE
     src1 = SourceImage.load(p1)
     src2 = SourceImage.load(p2)
     f = np.array([[0, 0, 0], [0, 0, 1], [0, -1, 0]], np.float64)
@@ -85,7 +91,7 @@ def correlation_throughput(p1, p2, n_runs=3):
     def once():
         t0 = time.time()
         packed = correlation.correlate_images(
-            src1, src2, f, ProjectionMode.AFFINE, cfg, device_out=True
+            src1, src2, f, projection, cfg, device_out=True
         )
         # The tunnel's block_until_ready is unreliable; fetch a value.
         np.asarray(jax.device_get(packed[0, 0]))
@@ -143,6 +149,9 @@ def main():
             for i in range(8)
         )
         mpix_s, corr_s = correlation_throughput(p1, p2)
+        persp_mpix_s, persp_corr_s = correlation_throughput(
+            p1, p2, projection=ProjectionMode.PERSPECTIVE
+        )
 
     result = {
         "metric": "e2e_1024x1024_sem_pair_to_ply_mesh_seconds",
@@ -153,6 +162,10 @@ def main():
             "depth_map_seconds": round(depth_s, 3),
             "dense_correlation_seconds": round(corr_s, 3),
             "dense_correlation_mpix_per_s_per_chip": round(mpix_s, 1),
+            "perspective_dense_correlation_seconds": round(persp_corr_s, 3),
+            "perspective_dense_correlation_mpix_per_s_per_chip": round(
+                persp_mpix_s, 1
+            ),
         },
     }
     print(json.dumps(result))

@@ -61,6 +61,15 @@ _lib.ply_pack_faces.argtypes = [
     ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_char_p,
 ]
 _lib.ply_pack_faces.restype = ctypes.c_long
+_lib.ply_write_grid.argtypes = [
+    ctypes.c_char_p,
+    ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+    ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+    ctypes.POINTER(ctypes.c_uint8),
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,
+]
+_lib.ply_write_grid.restype = ctypes.c_long
 _lib.format_obj_vertices.argtypes = [
     ctypes.POINTER(ctypes.c_double), ctypes.c_long,
     ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
@@ -146,6 +155,36 @@ def ply_pack_faces(faces) -> bytes:
         faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces), buf
     )
     return buf.raw[:written]
+
+
+def ply_write_grid(path, points3d, out_scale, tracks, grid_shape, image=None) -> int:
+    """Fused grid-mesh PLY writer: scatters the camera-0 track positions
+    into a pixel-index grid, then streams header + vertices (+colors
+    sampled from `image`) + grid-derived faces to `path` in one native
+    call — byte-identical to the grid_mesh_triangles + ply_pack_* chain.
+    image=None writes a plain (colorless) mesh. Returns the face count;
+    raises OSError on write failure."""
+    pts = np.ascontiguousarray(points3d, np.float64)
+    scale = np.ascontiguousarray(out_scale, np.float64)
+    tracks = np.ascontiguousarray(tracks, np.int32)
+    h, w = grid_shape
+    iptr = (
+        np.ascontiguousarray(image, np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)
+        )
+        if image is not None
+        else ctypes.POINTER(ctypes.c_uint8)()
+    )
+    idx = np.empty((h, w), np.int32)
+    faces = _lib.ply_write_grid(
+        path.encode(), _dptr(pts), len(pts), _dptr(scale),
+        tracks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tracks.shape[1], iptr,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+    )
+    if faces < 0:
+        raise OSError(f"ply_write_grid: cannot write {path}")
+    return int(faces)
 
 
 def format_obj_vertices(verts, colors=None) -> str:

@@ -257,6 +257,142 @@ long format_obj_vertices(const double *verts, long n, const double *colors,
   return p - out;
 }
 
+// Fused grid-mesh PLY writer: header + vertex records + face records
+// streamed straight to the file through stdio's buffer, deriving the
+// faces from the pixel-index grid on the fly. Replaces the
+// grid_mesh_triangles -> ply_pack_* -> Python-write chain for the
+// north-star config: the 1-vCPU host is memory-bandwidth bound, and
+// this path never materializes the 24 MB triangle array or the 55 MB
+// body staging buffers. Byte-identical output to that chain (canonical
+// triangle rotation, output.rs:55-67; BE body layout, output.rs:686-772;
+// reversed face indices, output.rs:757-761). Returns the face count, or
+// -1 if the file could not be written.
+// `tracks` is the surface's (n, n_cams, 2) int32 track array; camera 0
+// holds the integer pixel position of every grid track (affine
+// triangulation fills it densely). `img` is the (h, w, 3) u8 RGB source
+// for vertex colors, or null for a plain mesh. `idx_scratch` is caller
+// memory of h*w int32 (reused across calls from numpy).
+long ply_write_grid(const char *path, const double *pts, long n,
+                    const double *scale, const int32_t *tracks, long n_cams,
+                    const uint8_t *img, int32_t *idx, long h, long w) {
+  // Scatter the track indices into the pixel grid (camera-0 position).
+  const long stride = n_cams * 2;
+  std::memset(idx, 0xff, sizeof(int32_t) * h * w);  // -1 everywhere
+  for (long i = 0; i < n; i++) {
+    const int32_t x = tracks[i * stride], y = tracks[i * stride + 1];
+    idx[(long)y * w + x] = (int32_t)i;
+  }
+
+  // Pass 1: face count (needed in the header before any body bytes).
+  long faces = 0;
+  for (long y = 0; y + 1 < h; y++) {
+    const int32_t *r0 = idx + y * w;
+    const int32_t *r1 = r0 + w;
+    for (long x = 0; x + 1 < w; x++) {
+      int nv = (r0[x] >= 0) + (r0[x + 1] >= 0) + (r1[x] >= 0) +
+               (r1[x + 1] >= 0);
+      faces += (nv == 4) ? 2 : (nv == 3) ? 1 : 0;
+    }
+  }
+
+  FILE *fh = std::fopen(path, "wb");
+  if (!fh) return -1;
+  // Unbuffered: records are already chunked below, so stdio buffering
+  // would only add one more full copy of the 55 MB body.
+  std::setvbuf(fh, nullptr, _IONBF, 0);
+
+  std::fprintf(fh,
+               "ply\nformat binary_big_endian 1.0\n"
+               "comment Cybervision 3D surface\n"
+               "element vertex %ld\n"
+               "property double x\nproperty double y\nproperty double z\n",
+               n);
+  if (img)
+    std::fprintf(fh,
+                 "property uchar red\nproperty uchar green\n"
+                 "property uchar blue\n");
+  std::fprintf(fh,
+               "element face %ld\n"
+               "property list uchar int vertex_indices\nend_header\n",
+               faces);
+
+  // Records are packed into a small L1-resident chunk flushed with one
+  // fwrite per ~60 KB (per-record fwrite would pay a few million stdio
+  // lock/dispatch rounds).
+  static char chunk[60 * 1024];
+  char *p = chunk;
+  const char *chunk_hi = chunk + sizeof chunk - 32;
+  auto flush = [&]() {
+    std::fwrite(chunk, 1, p - chunk, fh);
+    p = chunk;
+  };
+
+  const double sx = scale[0], sy = -scale[1], sz = scale[2];
+  for (long i = 0; i < n; i++) {
+    const double v[3] = {pts[i * 3] * sx, pts[i * 3 + 1] * sy,
+                         pts[i * 3 + 2] * sz};
+    for (int k = 0; k < 3; k++) {
+      uint64_t bits;
+      std::memcpy(&bits, &v[k], 8);
+      bits = __builtin_bswap64(bits);
+      std::memcpy(p, &bits, 8);
+      p += 8;
+    }
+    if (img) {
+      // Vertex color: source pixel at the track's camera-0 position
+      // (output.rs:712-729); track order is row-major over the grid, so
+      // these reads stream.
+      const int32_t x = tracks[i * stride], y = tracks[i * stride + 1];
+      std::memcpy(p, img + ((long)y * w + x) * 3, 3);
+      p += 3;
+    }
+    if (p >= chunk_hi) flush();
+  }
+  flush();
+
+  // Pass 2: emit faces quad-by-quad — canonical rotation, then the PLY
+  // record's reversed index order.
+  auto emit = [&](int32_t a, int32_t b, int32_t c) {
+    int32_t t[3];
+    if (b < a && b <= c) {
+      t[0] = b; t[1] = c; t[2] = a;
+    } else if (c < a && c < b) {
+      t[0] = c; t[1] = a; t[2] = b;
+    } else {
+      t[0] = a; t[1] = b; t[2] = c;
+    }
+    *p++ = 3;
+    for (int k = 2; k >= 0; k--) {
+      uint32_t bits;
+      std::memcpy(&bits, &t[k], 4);
+      bits = __builtin_bswap32(bits);
+      std::memcpy(p, &bits, 4);
+      p += 4;
+    }
+    if (p >= chunk_hi) flush();
+  };
+  for (long y = 0; y + 1 < h; y++) {
+    const int32_t *r0 = idx + y * w;
+    const int32_t *r1 = r0 + w;
+    for (long x = 0; x + 1 < w; x++) {
+      int32_t a = r0[x], b = r0[x + 1], c = r1[x], d = r1[x + 1];
+      int nv = (a >= 0) + (b >= 0) + (c >= 0) + (d >= 0);
+      if (nv == 4) {
+        emit(a, b, d);
+        emit(a, d, c);
+      } else if (nv == 3) {
+        if (a < 0) emit(b, d, c);
+        else if (b < 0) emit(a, d, c);
+        else if (c < 0) emit(a, b, d);
+        else emit(a, b, c);
+      }
+    }
+  }
+  flush();
+  if (std::fclose(fh) != 0) return -1;
+  return faces;
+}
+
 // OBJ face lines "f a b c\n" (1-based, already-reversed indices).
 long format_obj_faces(const int32_t *faces, long n, char *out) {
   char *p = out;

@@ -39,6 +39,17 @@ def img_range(
     )
 
 
+def grid_index(surface: Surface) -> np.ndarray:
+    """(h, w) int32 pixel-index grid of an integer-grid surface: track
+    index at its camera-0 pixel, -1 where no track exists."""
+    h, w = surface.grid_shape
+    xs = surface.tracks[:, 0, 0].astype(np.int64)
+    ys = surface.tracks[:, 0, 1].astype(np.int64)
+    idx = np.full((h, w), -1, np.int32)
+    idx[ys, xs] = np.arange(surface.n_points, dtype=np.int32)
+    return idx
+
+
 def grid_mesh_polygons(surface: Surface) -> np.ndarray:
     """Direct Delaunay triangulation of an integer-grid surface.
 
@@ -56,12 +67,7 @@ def grid_mesh_polygons(surface: Surface) -> np.ndarray:
     global Delaunay run would add across unmeasured regions, are omitted
     (they are long slivers spanning pixels with no correlation data).
     """
-    h, w = surface.grid_shape
-    n = surface.n_points
-    xs = surface.tracks[:, 0, 0].astype(np.int64)
-    ys = surface.tracks[:, 0, 1].astype(np.int64)
-    idx = np.full((h, w), -1, np.int32)
-    idx[ys, xs] = np.arange(n, dtype=np.int32)
+    idx = grid_index(surface)
 
     try:
         from cybervision_tpu.native import grid_mesh_triangles

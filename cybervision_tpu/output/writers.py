@@ -85,18 +85,22 @@ def write_ply(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
     except ImportError:
         native = None
 
+    from cybervision_tpu.utils.progress import DetailTimer
+
     with open(path, "wb") as fh:
         fh.write(("\n".join(header) + "\n").encode())
-        colors = _vertex_colors(surface, images) if with_color else None
+        with DetailTimer("ply vertex_colors"):
+            colors = _vertex_colors(surface, images) if with_color else None
         if native is not None:
             # Single-pass C packing: the numpy path's byteswapped
             # record-array staging costs ~1 s at 1M vertices on the
             # bursty host vCPU.
-            fh.write(native.ply_pack_vertices(
-                surface.points3d, out_scale, colors
-            ))
-            if len(mesh.polygons):
-                fh.write(native.ply_pack_faces(mesh.polygons))
+            with DetailTimer("ply pack+write"):
+                fh.write(native.ply_pack_vertices(
+                    surface.points3d, out_scale, colors
+                ))
+                if len(mesh.polygons):
+                    fh.write(native.ply_pack_faces(mesh.polygons))
         else:
             verts = _scaled_vertices(surface, out_scale).astype(">f8")
             if with_color:
@@ -354,19 +358,58 @@ def output_surface(
 ):
     """Writer facade (output.rs:567-611): dispatch on extension, build the
     mesh, emit."""
+    from cybervision_tpu.utils.progress import DetailTimer
+
     image_dimensions = [(img.shape[1], img.shape[0]) for img in images]
-    mesh = build_mesh(
-        surface, image_dimensions, interpolation, progress, output_cfg
-    )
-    lower = path.lower()
-    if lower.endswith(".obj"):
-        write_obj(path, mesh, images, mesh_mode, out_scale)
-    elif lower.endswith(".ply"):
-        write_ply(path, mesh, images, mesh_mode, out_scale)
-    else:
-        write_depth_image(
-            path, mesh, image_dimensions, project_to_image,
-            float(np.sign(out_scale[2])), output_cfg,
+
+    # Fused native fast lane for the grid-mesh PLY config (the north-star
+    # benchmark): one streaming C pass derives the faces from the pixel
+    # grid and writes header + body directly, skipping the triangle-array
+    # and staging-buffer round trips on the bandwidth-bound host.
+    if (
+        path.lower().endswith(".ply")
+        and interpolation == InterpolationMode.DELAUNAY
+        and output_cfg.grid_mesh
+        and surface.grid_shape is not None
+        and surface.n_points > 0
+        # The native color sampler indexes images[0] with grid
+        # coordinates; fall back if the dimensions ever diverge.
+        and (
+            mesh_mode != MeshMode.VERTEX_COLORS
+            or images[0].shape[:2] == tuple(surface.grid_shape)
         )
+    ):
+        try:
+            from cybervision_tpu import native
+        except ImportError:
+            native = None
+        if native is not None:
+            with DetailTimer("ply fused grid write"):
+                native.ply_write_grid(
+                    path, surface.points3d, out_scale, surface.tracks,
+                    surface.grid_shape,
+                    images[0]
+                    if mesh_mode == MeshMode.VERTEX_COLORS
+                    else None,
+                )
+            if progress is not None:
+                progress.report_status(1.0)
+            return
+
+    with DetailTimer("build_mesh"):
+        mesh = build_mesh(
+            surface, image_dimensions, interpolation, progress, output_cfg
+        )
+    lower = path.lower()
+    with DetailTimer(f"write {lower.rsplit('.', 1)[-1]}"):
+        if lower.endswith(".obj"):
+            write_obj(path, mesh, images, mesh_mode, out_scale)
+        elif lower.endswith(".ply"):
+            write_ply(path, mesh, images, mesh_mode, out_scale)
+        else:
+            write_depth_image(
+                path, mesh, image_dimensions, project_to_image,
+                float(np.sign(out_scale[2])), output_cfg,
+            )
     if progress is not None:
         progress.report_status(1.0)

@@ -306,8 +306,11 @@ class Reconstruction:
     def _write_output(
         self, surface, linked_images: list[int], project_to: int = 0
     ) -> None:
+        from cybervision_tpu.utils.progress import DetailTimer
+
         with PhaseTimer("Saved result", self.quiet):
-            images_rgb = self._take_rgb(linked_images)
+            with DetailTimer("take_rgb"):
+                images_rgb = self._take_rgb(linked_images)
             output_surface(
                 surface,
                 self._out_scale(),

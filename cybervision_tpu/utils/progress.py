@@ -70,6 +70,32 @@ class ProgressBar:
             self._stream.flush()
 
 
+class DetailTimer:
+    """Sub-phase timing, printed only when CVTPU_PHASE_DETAIL is set.
+
+    The reference's observability stops at per-phase wall-clock prints
+    (reconstruction.rs:316-318); this opt-in layer breaks the output
+    phase down further (rgb decode / meshing / serialization) for
+    perf work on the bursty host vCPU.
+    """
+
+    def __init__(self, name: str):
+        import os
+
+        self._name = name
+        self._enabled = bool(os.environ.get("CVTPU_PHASE_DETAIL"))
+
+    def __enter__(self):
+        self._start = time.monotonic()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None and self._enabled:
+            dt = time.monotonic() - self._start
+            print(f"  [detail] {self._name}: {dt:.3f}s")
+        return False
+
+
 class PhaseTimer:
     """Context manager printing 'Completed <phase> in N seconds'."""
 

@@ -241,3 +241,27 @@ def test_output_surface_dispatch(tmp_path, rng):
             InterpolationMode.DELAUNAY, MeshMode.VERTEX_COLORS,
         )
         assert (tmp_path / name).stat().st_size > 0
+
+
+def test_fused_grid_ply_byte_identical(tmp_path, rng):
+    """The native fused grid-PLY lane (output_surface fast path) must be
+    byte-identical to the build_mesh + write_ply chain, holes included."""
+    native = pytest.importorskip("cybervision_tpu.native")
+    h, w = 37, 53
+    cp = np.zeros((h, w, 3), np.int64)
+    ys, xs = np.mgrid[0:h, 0:w]
+    cp[:, :, 0] = xs + rng.randint(0, 5, (h, w))
+    cp[:, :, 1] = ys + rng.randint(-2, 3, (h, w))
+    cp[:, :, 2] = (rng.uniform(size=(h, w)) > 0.3).astype(np.int64)
+    s = triangulate_affine(cp)
+    imgs = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(2)]
+    scale = (1.0, 1.0, -1.0)
+    for mode in (MeshMode.VERTEX_COLORS, MeshMode.PLAIN):
+        fused = tmp_path / f"fused_{mode.name}.ply"
+        chain = tmp_path / f"chain_{mode.name}.ply"
+        writers.output_surface(
+            s, scale, 0, imgs, str(fused), InterpolationMode.DELAUNAY, mode
+        )
+        mesh = meshing.build_mesh(s, [(w, h), (w, h)], InterpolationMode.DELAUNAY)
+        writers.write_ply(str(chain), mesh, imgs, mode, scale)
+        assert fused.read_bytes() == chain.read_bytes()
