@@ -59,7 +59,8 @@ def _scratch_bytes(tile_h: int, w: int, wd: int, n_o: int) -> int:
     total = 2 * _ru(tile_h + 2 * KS, 8) * _ru(w + 2 * KS, 128)
     total += 3 * _ru(tile_h + 2 * wd, 8) * _ru(w + 2 * wd, 128)
     total += 8 * tile_h * wq
-    total += n_o * _ru(tile_h + 2 * hk, 8) * _ru(w + 2 * hk, 128)
+    # n_o warp slabs + the two hoisted box-sum slabs (s_sw, s_sww)
+    total += (n_o + 2) * _ru(tile_h + 2 * hk, 8) * _ru(w + 2 * hk, 128)
     return 4 * total
 
 
@@ -114,6 +115,8 @@ def _sweep_kernel(
     s_end,
     s_pok,
     s_w0,
+    s_sw,
+    s_sww,
     o_corr,
     o_x,
     o_y,
@@ -214,8 +217,31 @@ def _sweep_kernel(
         o_x[:] = jnp.zeros(o_x.shape, f32)
         o_y[:] = jnp.zeros(o_y.shape, f32)
 
+        # Hoisted once per tile: the corridor-offset field. off_u(p) =
+        # floor(coeff*center + add)(p + u e) + o — floor commutes with the
+        # pure-translation roll, so the per-u work is one roll instead of
+        # three rolls + the f32 affine evaluation (matches the scan path,
+        # correlation.refine_pass:722-726).
+        off0_full = jnp.floor(s_coe[:] * s_cen[:] + s_add[:])
+        cen_full = s_cen[:]
+
         for oi in range(n_o):
             o_val = f32(oi - corridor_size)
+
+            # Hoisted once per stripe: the warp's 11x11 box sums. Box
+            # filtering commutes with the roll (box11(roll(x, u)) =
+            # roll(box11(x), u)), so the candidate-window stats for every
+            # u are rolls of these two slabs — the same select-at-center
+            # semantics as the scan path's precomputed avgqs/sdqs
+            # (correlation.refine_pass:741-750), replacing two of the
+            # three per-u box filters (44 of ~66 adds/pixel).
+            w0_full = s_w0[oi]
+            sw_rows = s_sw.shape[0] - 2 * KS
+            sw_cols = s_sw.shape[1] - 2 * KS
+            s_sw[0:sw_rows, 0:sw_cols] = _box11(w0_full, sw_rows, sw_cols)
+            s_sww[0:sw_rows, 0:sw_cols] = _box11(
+                w0_full * w0_full, sw_rows, sw_cols
+            )
 
             def u_body(c, oi=oi, o_val=o_val):
                 ui, utok = c
@@ -235,16 +261,13 @@ def _sweep_kernel(
                 wdu = jnp.int32(wd) + u
                 wds = jnp.int32(wd)
 
-                def fshift(ref):
-                    buf = ref[:]
-                    r = rolled(buf, f_rows, f_cols, wdu, wds, tile_h, w)
-                    cc = rolled(buf, f_rows, f_cols, wds, wdu, tile_h, w)
+                def fshift(buf, rows, cols):
+                    r = rolled(buf, rows, cols, wdu, wds, tile_h, w)
+                    cc = rolled(buf, rows, cols, wds, wdu, tile_h, w)
                     return jnp.where(vert_c, r, cc)
 
-                cen_u = fshift(s_cen)
-                coe_u = fshift(s_coe)
-                add_u = fshift(s_add)
-                off = jnp.floor(coe_u * cen_u + add_u) + o_val
+                cen_u = fshift(cen_full, f_rows, f_cols)
+                off = fshift(off0_full, f_rows, f_cols) + o_val
                 qx = jnp.where(vert_c, off, cen_u)
                 qy = jnp.where(vert_c, cen_u, off)
                 inb = (
@@ -268,8 +291,10 @@ def _sweep_kernel(
                 warp = jnp.where(vert_slab, wr, wc)
 
                 cross = _box11(img_slab * warp, tile_h, w)
-                s_w_ = _box11(warp, tile_h, w)
-                s_ww = _box11(warp * warp, tile_h, w)
+                b_rows = s_sw.shape[0]
+                b_cols = s_sw.shape[1]
+                s_w_ = fshift(s_sw[:], b_rows, b_cols)
+                s_ww = fshift(s_sww[:], b_rows, b_cols)
                 inv_kpc = f32(1.0 / KPC)
                 avg_w = s_w_ * inv_kpc
                 var_w = jnp.maximum(
@@ -457,6 +482,12 @@ def ncc_sweep(
             pltpu.VMEM(
                 (n_o, ru(tile_h + 2 * hk, 8), ru(w + 2 * hk, 128)),
                 jnp.float32,
+            ),
+            pltpu.VMEM(
+                (ru(tile_h + 2 * hk, 8), ru(w + 2 * hk, 128)), jnp.float32
+            ),
+            pltpu.VMEM(
+                (ru(tile_h + 2 * hk, 8), ru(w + 2 * hk, 128)), jnp.float32
             ),
             pltpu.VMEM((tile_h, wq), jnp.float32),
             pltpu.VMEM((tile_h, wq), jnp.float32),
