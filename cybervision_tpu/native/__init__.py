@@ -70,6 +70,14 @@ _lib.ply_write_grid.argtypes = [
     ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,
 ]
 _lib.ply_write_grid.restype = ctypes.c_long
+_lib.ply_write_corr_grid.argtypes = [
+    ctypes.c_char_p,
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,
+    ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_uint8),
+    ctypes.POINTER(ctypes.c_int32),
+]
+_lib.ply_write_corr_grid.restype = ctypes.c_long
 _lib.format_obj_vertices.argtypes = [
     ctypes.POINTER(ctypes.c_double), ctypes.c_long,
     ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
@@ -184,6 +192,35 @@ def ply_write_grid(path, points3d, out_scale, tracks, grid_shape, image=None) ->
     )
     if faces < 0:
         raise OSError(f"ply_write_grid: cannot write {path}")
+    return int(faces)
+
+
+def ply_write_corr_grid(path, word, out_scale, image=None) -> int:
+    """Fully fused affine PLY lane: word is the (H, W) int32 compact
+    correlation grid (x2 | y2<<12 | valid<<24); vertices are the valid
+    pixels in row-major order with z = hypot(x - x2, y - y2) computed
+    natively — byte-identical to the triangulate_affine + ply_write_grid
+    chain without its host numpy passes. Returns the face count; raises
+    OSError on write failure."""
+    word = np.ascontiguousarray(word, np.int32)
+    h, w = word.shape
+    scale = np.ascontiguousarray(out_scale, np.float64)
+    iptr = (
+        np.ascontiguousarray(image, np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)
+        )
+        if image is not None
+        else ctypes.POINTER(ctypes.c_uint8)()
+    )
+    idx = np.empty((h, w), np.int32)
+    faces = _lib.ply_write_corr_grid(
+        path.encode(),
+        word.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+        _dptr(scale), iptr,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if faces < 0:
+        raise OSError(f"ply_write_corr_grid: cannot write {path}")
     return int(faces)
 
 

@@ -393,6 +393,127 @@ long ply_write_grid(const char *path, const double *pts, long n,
   return faces;
 }
 
+// Fully fused affine PLY lane: consumes the dense-correlation compact
+// word grid (x2 | y2<<12 | valid<<24, ops.correlation._pack_state_compact)
+// directly and writes the grid-mesh PLY in one streaming pass. The
+// vertex set is every valid pixel in row-major order with
+// z = hypot(x - x2, y - y2) computed here in f64 — the same values the
+// triangulate_affine (triangulation.rs:313-330) + ply_write_grid chain
+// produces, with none of its host-side numpy passes or the (n, 3)
+// points3d materialization. Byte-identical output to that chain.
+// `img` is (h, w, 3) u8 RGB for vertex colors or null; `idx` is caller
+// scratch of h*w int32. Returns face count, -1 on write failure.
+long ply_write_corr_grid(const char *path, const int32_t *word, long h,
+                         long w, const double *scale, const uint8_t *img,
+                         int32_t *idx) {
+  // Pass 0: vertex indices (row-major over valid pixels) + face count.
+  long n = 0;
+  for (long i = 0; i < h * w; i++)
+    idx[i] = ((word[i] >> 24) & 1) ? (int32_t)n++ : -1;
+  long faces = 0;
+  for (long y = 0; y + 1 < h; y++) {
+    const int32_t *r0 = idx + y * w;
+    const int32_t *r1 = r0 + w;
+    for (long x = 0; x + 1 < w; x++) {
+      int nv = (r0[x] >= 0) + (r0[x + 1] >= 0) + (r1[x] >= 0) +
+               (r1[x + 1] >= 0);
+      faces += (nv == 4) ? 2 : (nv == 3) ? 1 : 0;
+    }
+  }
+
+  FILE *fh = std::fopen(path, "wb");
+  if (!fh) return -1;
+  std::setvbuf(fh, nullptr, _IONBF, 0);
+
+  std::fprintf(fh,
+               "ply\nformat binary_big_endian 1.0\n"
+               "comment Cybervision 3D surface\n"
+               "element vertex %ld\n"
+               "property double x\nproperty double y\nproperty double z\n",
+               n);
+  if (img)
+    std::fprintf(fh,
+                 "property uchar red\nproperty uchar green\n"
+                 "property uchar blue\n");
+  std::fprintf(fh,
+               "element face %ld\n"
+               "property list uchar int vertex_indices\nend_header\n",
+               faces);
+
+  static char chunk[60 * 1024];
+  char *p = chunk;
+  const char *chunk_hi = chunk + sizeof chunk - 32;
+  auto flush = [&]() {
+    std::fwrite(chunk, 1, p - chunk, fh);
+    p = chunk;
+  };
+
+  const double sx = scale[0], sy = -scale[1], sz = scale[2];
+  for (long y = 0; y < h; y++) {
+    for (long x = 0; x < w; x++) {
+      const int32_t wv = word[y * w + x];
+      if (!((wv >> 24) & 1)) continue;
+      const double dx = (double)x - (double)(wv & 0xFFF);
+      const double dy = (double)y - (double)((wv >> 12) & 0xFFF);
+      const double v[3] = {(double)x * sx, (double)y * sy,
+                           std::hypot(dx, dy) * sz};
+      for (int k = 0; k < 3; k++) {
+        uint64_t bits;
+        std::memcpy(&bits, &v[k], 8);
+        bits = __builtin_bswap64(bits);
+        std::memcpy(p, &bits, 8);
+        p += 8;
+      }
+      if (img) {
+        std::memcpy(p, img + (y * w + x) * 3, 3);
+        p += 3;
+      }
+      if (p >= chunk_hi) flush();
+    }
+  }
+  flush();
+
+  auto emit = [&](int32_t a, int32_t b, int32_t c) {
+    int32_t t[3];
+    if (b < a && b <= c) {
+      t[0] = b; t[1] = c; t[2] = a;
+    } else if (c < a && c < b) {
+      t[0] = c; t[1] = a; t[2] = b;
+    } else {
+      t[0] = a; t[1] = b; t[2] = c;
+    }
+    *p++ = 3;
+    for (int k = 2; k >= 0; k--) {
+      uint32_t bits;
+      std::memcpy(&bits, &t[k], 4);
+      bits = __builtin_bswap32(bits);
+      std::memcpy(p, &bits, 4);
+      p += 4;
+    }
+    if (p >= chunk_hi) flush();
+  };
+  for (long y = 0; y + 1 < h; y++) {
+    const int32_t *r0 = idx + y * w;
+    const int32_t *r1 = r0 + w;
+    for (long x = 0; x + 1 < w; x++) {
+      int32_t a = r0[x], b = r0[x + 1], c = r1[x], d = r1[x + 1];
+      int nv = (a >= 0) + (b >= 0) + (c >= 0) + (d >= 0);
+      if (nv == 4) {
+        emit(a, b, d);
+        emit(a, d, c);
+      } else if (nv == 3) {
+        if (a < 0) emit(b, d, c);
+        else if (b < 0) emit(a, d, c);
+        else if (c < 0) emit(a, b, d);
+        else emit(a, b, c);
+      }
+    }
+  }
+  flush();
+  if (std::fclose(fh) != 0) return -1;
+  return faces;
+}
+
 // OBJ face lines "f a b c\n" (1-based, already-reversed indices).
 long format_obj_faces(const int32_t *faces, long n, char *out) {
   char *p = out;

@@ -1303,9 +1303,13 @@ def correlate_images(
             progress.report_status(done / total)
 
     if device_out:
-        # Leave the packed (H, W, 3) int32 state on device: the affine
-        # depth-map fast lane consumes it there, skipping a 12 MB
-        # device->host->device round trip over the TPU tunnel.
+        # Leave the packed state on device: the affine depth-map fast
+        # lane consumes the (H, W, 3) planes there, skipping a 12 MB
+        # device->host->device round trip over the TPU tunnel; the fused
+        # PLY lane takes the compact (H, W) word (device_out="word",
+        # coords < 4096) that native.ply_write_corr_grid streams from.
+        if device_out == "word":
+            return _pack_state_compact(state_f)
         return _pack_state(state_f)
     h1f, w1f = src1.img.shape
     h2f, w2f = src2.img.shape

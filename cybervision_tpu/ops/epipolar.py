@@ -64,6 +64,17 @@ def sampson_error(f: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarr
 # Normalization
 
 
+def _hartley_np(pts: np.ndarray) -> np.ndarray:
+    """Host-side hartley_normalization (same math, numpy f64)."""
+    pts = pts.astype(np.float64)
+    c = pts.mean(axis=0)
+    d = np.sqrt(((pts - c) ** 2).sum(axis=1))
+    s = np.sqrt(2.0) / max(d.mean(), 1e-12)
+    return np.array(
+        [[s, 0.0, -s * c[0]], [0.0, s, -s * c[1]], [0.0, 0.0, 1.0]]
+    )
+
+
 def hartley_normalization(pts: jnp.ndarray) -> jnp.ndarray:
     """Similarity T mapping pts to zero centroid / sqrt(2) RMS radius.
     pts: (M, 2) -> (3, 3)."""
@@ -746,15 +757,27 @@ def find_fundamental_matrix(
     if m < d + n:
         raise RansacError("Not enough matches")
 
-    p1 = jnp.asarray(matches[:, 0:2], jnp.float32)
-    p2 = jnp.asarray(matches[:, 2:4], jnp.float32)
-    m_valid = jnp.ones((m,), bool)
+    # The match count is data-dependent; pad to a power-of-two bucket
+    # with a validity mask so the sweep program comes out of the compile
+    # cache for any input (m_valid gates scoring; sampling draws from the
+    # [0, top_limit) prefix, which is always real rows since matches are
+    # sorted and the padding is appended).
+    from cybervision_tpu.ops.matching import _len_bucket
+
+    mb = _len_bucket(m, floor=512)
+    mpad = np.zeros((mb, 4), matches.dtype)
+    mpad[:m] = matches
+    p1 = jnp.asarray(mpad[:, 0:2], jnp.float32)
+    p2 = jnp.asarray(mpad[:, 2:4], jnp.float32)
+    m_valid = jnp.asarray(np.arange(mb) < m)
     top_limit = min(m, cfg.top_inliers)
 
     t1 = t2 = None
     if projection == ProjectionMode.PERSPECTIVE:
-        t1 = hartley_normalization(p1)
-        t2 = hartley_normalization(p2)
+        # Normalization statistics over the real rows only (the padded
+        # zeros would drag the centroid).
+        t1 = jnp.asarray(_hartley_np(matches[:, 0:2]), jnp.float32)
+        t2 = jnp.asarray(_hartley_np(matches[:, 2:4]), jnp.float32)
 
     from cybervision_tpu.parallel import pipeline_mesh
 

@@ -497,21 +497,19 @@ def extract_keypoints_pyramid_multi(
         pts, counts = _detect_batch(scaled, cfg)
         detected.append((scale, idxs, scaled, pts, counts))
 
-    # All detection groups are dispatched above; sync their corner counts
-    # in ONE fetch (each device->host round trip costs ~30 ms on the TPU
-    # tunnel, and there is one group per pyramid scale).
-    all_counts = np.asarray(
-        jnp.concatenate([d[4].ravel() for d in detected])
-        if len(detected) > 1
-        else detected[0][4].ravel()
-    )
     pending = [[] for _ in images]  # per image: packed device arrays
-    off = 0
     for scale, idxs, scaled, pts, counts in detected:
-        n_grp = counts.size
-        max_count = int(all_counts[off : off + n_grp].max())
-        off += n_grp
-        k = _k_bucket(max_count, cfg.max_keypoints)
+        # Describe-bucket from the static NMS density cap instead of the
+        # measured counts: strict 3x3 suppression (non_max_suppression)
+        # admits at most one survivor per 2x2 block, so
+        # ceil(h/2)*ceil(w/2) bounds the corner count without a
+        # device->host counts sync — the whole pyramid now dispatches
+        # with zero round trips before the single final fetch. k only
+        # ever lands above the counts-derived bucket, so results are
+        # unchanged (invalid slots are masked in _describe).
+        sh, sw = scaled.shape[1], scaled.shape[2]
+        bound = ((sh + 1) // 2) * ((sw + 1) // 2)
+        k = _k_bucket(min(bound, cfg.max_keypoints), cfg.max_keypoints)
         packed = _describe_batch(scaled, pts, counts, cfg, k)
         # Truncating map back to full-res on device
         # (reconstruction.rs:433-437).

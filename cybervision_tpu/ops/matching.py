@@ -137,6 +137,23 @@ def _combine_shard_mins(gidx, dist, valid1, threshold):
     return best_idx, best_dist, matched
 
 
+def _len_bucket(n: int, floor: int = 1024) -> int:
+    """Smallest power-of-two >= n (min `floor`) — the static shape the
+    device programs compile against."""
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_rows(arr: np.ndarray, rows: int) -> np.ndarray:
+    if len(arr) == rows:
+        return arr
+    out = np.zeros((rows,) + arr.shape[1:], dtype=arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
 @jax.jit
 def _pack_match_result(idx, dist, ok):
     return jnp.stack(
@@ -157,10 +174,17 @@ def match_keypoints(
     (pointmatching.rs:74), ready for RANSAC top-inlier sampling."""
     if len(pts1) == 0 or len(pts2) == 0:
         return np.zeros((0, 4), dtype=np.int64)
-    d1 = jnp.asarray(desc1)
-    d2 = jnp.asarray(desc2)
-    v1 = jnp.ones((len(desc1),), dtype=bool)
-    v2 = jnp.ones((len(desc2),), dtype=bool)
+    # Descriptor counts are data-dependent (pyramid corners under the
+    # response cap); pad each set to a power-of-two bucket with masked
+    # tail rows so the (N1, N2) matmul program comes out of the compile
+    # cache for any input pair instead of recompiling per exact count
+    # (~45 s/program through the TPU tunnel).
+    b1 = _len_bucket(len(desc1))
+    b2 = _len_bucket(len(desc2))
+    d1 = jnp.asarray(_pad_rows(desc1, b1))
+    d2 = jnp.asarray(_pad_rows(desc2, b2))
+    v1 = jnp.asarray(np.arange(b1) < len(desc1))
+    v2 = jnp.asarray(np.arange(b2) < len(desc2))
 
     from cybervision_tpu.parallel import pipeline_mesh
 
@@ -171,7 +195,7 @@ def match_keypoints(
         idx, dist, ok = match_descriptors(d1, v1, d2, v2, threshold)
     # One packed fetch (three separate np.asarray's pay three ~30 ms
     # tunnel round trips).
-    packed = np.asarray(_pack_match_result(idx, dist, ok))
+    packed = np.asarray(_pack_match_result(idx, dist, ok))[: len(pts1)]
     idx = packed[:, 0]
     dist = packed[:, 1]
     ok = packed[:, 2] == 1

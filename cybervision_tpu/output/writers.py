@@ -15,6 +15,7 @@ meshes when built.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -276,12 +277,13 @@ def write_depth_image(
     img.save(path)
 
 
-def _affine_depth_rgba(arr, z_sign):
-    import functools
-
+@functools.lru_cache(maxsize=1)
+def _affine_depth_rgba_jit():
+    """The jitted program is created once (a fresh jax.jit wrapper per
+    call would re-trace + re-look-up the compile cache every time,
+    ~200 ms of host work per image on the TPU tunnel)."""
     import jax
 
-    @functools.partial(jax.jit, donate_argnums=())
     def go(arr, z_sign):
         import jax.numpy as jnp
 
@@ -313,7 +315,11 @@ def _affine_depth_rgba(arr, z_sign):
             axis=2,
         )
 
-    return go(arr, z_sign)
+    return jax.jit(go)
+
+
+def _affine_depth_rgba(arr, z_sign):
+    return _affine_depth_rgba_jit()(arr, z_sign)
 
 
 def write_depth_image_affine_device(path: str, correlated: "jnp-or-np array",

@@ -180,9 +180,13 @@ class Reconstruction:
             self.cfg.interpolation == InterpolationMode.NONE
             and not lower.endswith((".ply", ".obj"))
         )
+        ply_lane = self._affine_ply_lane(lower)
         if not fast_lane:
             self._prefetch_rgb([0, 1])
-        correlated = self.correlate_pair(0, 1, pair.f, device_out=fast_lane)
+        correlated = self.correlate_pair(
+            0, 1, pair.f,
+            device_out="word" if ply_lane else fast_lane,
+        )
 
         if fast_lane:
             from cybervision_tpu.output.writers import (
@@ -195,6 +199,32 @@ class Reconstruction:
                     float(np.sign(self._out_scale()[2])),
                 )
             return
+
+        if ply_lane:
+            word = np.asarray(correlated)
+            from cybervision_tpu.config import MeshMode
+
+            rgb = (
+                self._take_rgb([0])[0]
+                if self.cfg.mesh == MeshMode.VERTEX_COLORS
+                else None
+            )
+            if (word >> 24 & 1).any() and (
+                rgb is None or rgb.shape[:2] == word.shape
+            ):
+                from cybervision_tpu import native
+
+                with PhaseTimer("Saved result", self.quiet):
+                    native.ply_write_corr_grid(
+                        self.out_filename, word, self._out_scale(), rgb
+                    )
+                return
+            # No correlated pixels (or an RGB/grid shape mismatch): fall
+            # through to the generic path for its semantics.
+            correlated = np.empty((*word.shape, 3), np.int64)
+            correlated[:, :, 0] = word & 0xFFF
+            correlated[:, :, 1] = (word >> 12) & 0xFFF
+            correlated[:, :, 2] = (word >> 24) & 1
 
         with PhaseTimer("Completed triangulation post-processing", self.quiet):
             surface = triangulate_affine(correlated)
@@ -209,6 +239,32 @@ class Reconstruction:
                 surface.grid_shape = None
 
         self._write_output(surface, [0, 1])
+
+    def _affine_ply_lane(self, lower: str) -> bool:
+        """The fused PLY lane applies when the generic path would take
+        the native grid-mesh shortcut anyway (writers.output_surface) AND
+        the correlation grid fits the 12-bit compact packing: the native
+        writer then streams the mesh straight from the correlation word
+        grid, skipping triangulate_affine's host passes and the 12 MB
+        planes fetch."""
+        from cybervision_tpu.config import InterpolationMode, MeshMode
+
+        if not (
+            lower.endswith(".ply")
+            and self.cfg.interpolation == InterpolationMode.DELAUNAY
+            and self.cfg.mesh in (MeshMode.PLAIN, MeshMode.VERTEX_COLORS)
+            and self.cfg.max_points is None
+            and self.cfg.output.grid_mesh
+        ):
+            return False
+        img1, img2 = self.image(0), self.image(1)
+        if max(*img1.dimensions, *img2.dimensions) > 4096:
+            return False
+        try:
+            from cybervision_tpu import native  # noqa: F401
+        except ImportError:
+            return False
+        return True
 
     def _run_perspective(self) -> None:
         from cybervision_tpu.ops import sfm

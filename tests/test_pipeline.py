@@ -105,6 +105,24 @@ def test_affine_end_to_end_ply(sem_scene, tmp_path):
     assert np.mean(err <= 1.5) > 0.9
 
 
+def test_affine_ply_fused_lane_matches_generic(sem_scene, tmp_path, monkeypatch):
+    """The fused word-grid PLY lane (native.ply_write_corr_grid) must be
+    byte-identical to the triangulate_affine + writer chain."""
+    pytest.importorskip("cybervision_tpu.native")
+    from cybervision_tpu.reconstruction import Reconstruction
+
+    p1, p2, _ = sem_scene
+    cfg = _fast_cfg(mesh=MeshMode.VERTEX_COLORS)
+    fused = str(tmp_path / "fused.ply")
+    generic = str(tmp_path / "generic.ply")
+    reconstruct([p1, p2], fused, cfg, quiet=True)
+    monkeypatch.setattr(
+        Reconstruction, "_affine_ply_lane", lambda self, lower: False
+    )
+    reconstruct([p1, p2], generic, cfg, quiet=True)
+    assert open(fused, "rb").read() == open(generic, "rb").read()
+
+
 def test_cli_parse_and_usage():
     cfg, src, out = cli.parse_args(
         [
