@@ -554,42 +554,78 @@ def warp_shift_range(
     return ("vert" if vert else "horiz", tmin, tmax)
 
 
+def split_trange(
+    trange: tuple[str, int, int] | None,
+) -> tuple[tuple[str, int, int] | None, int]:
+    """Split warp_shift_range's exact (axis, tmin, tmax) into a static
+    structural bucket (axis, k_n, t_pad) plus the dynamic shift tmin.
+
+    tmin/tmax are derived from F, so baking them into the compiled
+    program as statics would recompile the whole dense pyramid for every
+    image pair (multi-image runs correlate N*(N-1)/2 pairs). Only the
+    *structure* — select count k_n and padding reach t_pad, bucketed to
+    powers of two — shapes the program; tmin rides along as a traced
+    scalar into the dynamic-slice starts. Pairs sharing shape buckets
+    then share one compiled pyramid.
+    """
+    if trange is None:
+        return None, 0
+    axis, tmin, tmax = trange
+    kn = tmax - tmin + 1
+    # Floor the select count at 2 and the padding at 8: real scenes
+    # straddle k_n = 1 vs 2 and small tmin values pair to pair (RANSAC's
+    # F moves a little every run), and each distinct bucket is a fresh
+    # ~45 s pyramid compile over the TPU tunnel. The floors cost one
+    # extra slice+select per band (k) and ~8 zero rows of padding (t) —
+    # noise next to the sweep — and collapse typical scenes onto ONE
+    # (axis, 2, 8) bucket.
+    kb = 2
+    while kb < kn:
+        kb *= 2
+    tp = 8
+    while tp < max(-tmin, tmin + kb - 1):
+        tp *= 2
+    return (axis, kb, tp), tmin
+
+
 def _stripe_warps_fast(
     img2f: jnp.ndarray,
     center: jnp.ndarray,
     t_src: jnp.ndarray,
     corridor_size: int,
-    tmin: int,
-    tmax: int,
+    tmin,
+    k_n: int,
+    t_pad: int,
     h1: int,
 ) -> list[jnp.ndarray]:
     """Gather-free stripe base warps, dominant axis = columns (horizontal
     corridors): W0_o(y, x) = img2[y + t(y, x) + o, x + D_band(y)].
 
     Per anchor band (the same _ANCHOR_BAND banding as _corridor_ranges,
-    where center == x + D_band by construction) one dynamic slice applies
-    the along-axis offset D; the perpendicular offset t in [tmin, tmax]
-    becomes static row shifts of the slice combined with equality
-    selects (none at all when the range is a single value, e.g. a
-    rectified horizontal-shift pair). The vert case runs this on
-    transposed arrays.
+    where center == x + x_band by construction) one dynamic slice applies
+    the along-axis offset D; the perpendicular offset t spans k_n values
+    from dynamic tmin (a traced scalar folded into the slice start, see
+    split_trange) realised as static row shifts of the slice combined
+    with equality selects (none at all when k_n == 1, e.g. a rectified
+    horizontal-shift pair). The vert case runs this on transposed arrays.
     """
     cs = corridor_size
-    k_n = tmax - tmin + 1
     h2, w2 = img2f.shape
     w1 = center.shape[1]
     # Row pad covers the t/stripe reach plus any img1/img2 height
     # mismatch so no dynamic_slice start ever clamps (clamping would
     # silently misalign rows instead of reading the zero margin).
-    pr = max(cs - tmin, tmax + cs) + 1 + abs(h1 - h2)
+    # t_pad >= max(-tmin, tmin + k_n - 1) by split_trange's contract.
+    pr = t_pad + cs + 1 + abs(h1 - h2)
     xp = max(w1, w2)
     imgp = jnp.pad(img2f, ((pr, pr), (xp, xp)))
 
     b = _ANCHOR_BAND if h1 >= 2 * _ANCHOR_BAND else max(h1, 1)
     nb = (h1 + b - 1) // b
 
+    tmin = jnp.int32(tmin)
     rows_idx = jnp.arange(h1, dtype=jnp.int32)[:, None]
-    t_field = t_src - rows_idx  # (h1, w1) int32
+    t_field = t_src - rows_idx - tmin  # (h1, w1) int32, tmin-relative
 
     stripe_bands: list[list[jnp.ndarray]] = [
         [] for _ in range(2 * cs + 1)
@@ -603,14 +639,14 @@ def _stripe_warps_fast(
         d_i = jnp.clip(center[r0, 0], -xp, xp + w2 - w1)
         blk = jax.lax.dynamic_slice(
             imgp,
-            (jnp.int32(r0 + tmin - cs + pr), jnp.int32(xp) + d_i),
+            (jnp.int32(r0 - cs + pr) + tmin, jnp.int32(xp) + d_i),
             (rows + k_n - 1 + 2 * cs, w1),
         )
         t_band = t_field[r0 : r0 + rows]
         for oi, o in enumerate(range(-cs, cs + 1)):
             acc = None
-            for k in range(tmin, tmax + 1):
-                off = k + o - tmin + cs
+            for k in range(k_n):
+                off = k + o + cs
                 sl = jax.lax.slice(
                     blk, (off, 0), (off + rows, w1)
                 )
@@ -637,24 +673,28 @@ def _stripe_warps(
     h2: int,
     w2: int,
     warp_trange: tuple[str, int, int] | None,
+    warp_tmin=0,
 ) -> list[jnp.ndarray]:
     """Stripe base-warp stack W0_o (one image per lateral stripe o).
-    warp_trange (from warp_shift_range, static) selects the shift/select
-    fast path; None gathers (correct for any epipolar geometry)."""
+    warp_trange (the static bucket from split_trange) selects the
+    shift/select fast path, warp_tmin carries its dynamic shift; None
+    gathers (correct for any epipolar geometry)."""
     cs = corridor_size
     if warp_trange is not None:
-        axis, tmin, tmax = warp_trange
+        axis, k_n, t_pad = warp_trange
         if axis == "horiz":
             return _stripe_warps_fast(
-                img2f, center, base_y, cs, tmin, tmax, center.shape[0]
+                img2f, center, base_y, cs, warp_tmin, k_n, t_pad,
+                center.shape[0],
             )
         w0s_t = _stripe_warps_fast(
             img2f.T,
             center.T,
             base_x.T,
             cs,
-            tmin,
-            tmax,
+            warp_tmin,
+            k_n,
+            t_pad,
             center.shape[1],
         )
         return [w.T for w in w0s_t]
@@ -685,10 +725,12 @@ def refine_pass(
     corridor_size: int,
     window: int,
     warp_trange: tuple[str, int, int] | None = None,
+    warp_tmin=0,
 ) -> CorrelationState:
     """One refine-scale sweep. `window` is the static corridor half-width
     bucket; per-pixel ranges beyond it are truncated (callers pick the
-    bucket from the observed maximum).
+    bucket from the observed maximum). warp_trange is split_trange's
+    static bucket, warp_tmin its traced shift.
 
     TPU structure (XLA:TPU gathers cost ~15ns/element, rolls are ~free):
     gather the *base* warp W0_o(p) = img2[candidate at center(p), stripe o]
@@ -728,7 +770,7 @@ def refine_pass(
     n_o = 2 * corridor_size + 1
     w0s = _stripe_warps(
         img2, vert, center, base_x, base_y, corridor_size, h2, w2,
-        warp_trange,
+        warp_trange, warp_tmin,
     )
     qxs, qys, inbs, avgqs, sdqs = [], [], [], [], []
     for oi, o in enumerate(range(-corridor_size, corridor_size + 1)):
@@ -863,6 +905,7 @@ def refine_pass_pallas(
     window: int,
     interpret: bool = False,
     warp_trange: tuple[str, int, int] | None = None,
+    warp_tmin=0,
 ) -> CorrelationState:
     """refine_pass with the sweep running as the Pallas kernel
     (ops.pallas_ncc.ncc_sweep): same prologue (stats, epipolar fields,
@@ -889,7 +932,7 @@ def refine_pass_pallas(
     base_y = jnp.where(vert, center, off0)
     w0 = jnp.stack(_stripe_warps(
         img2, vert, center, base_x, base_y, corridor_size, h2, w2,
-        warp_trange,
+        warp_trange, warp_tmin,
     ))
 
     best_corr, best_x, best_y = pallas_ncc.ncc_sweep(
@@ -1109,15 +1152,7 @@ def optimal_scale_steps(dimensions: tuple[int, int], cfg=CorrelationConfig()):
     return oss(dimensions, cfg.scale_min_size)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "corridor_size", "window_f", "window_r", "first", "use_pallas",
-        "threshold", "min_stdev", "mesh", "exact_cross_check",
-        "warp_trange_f", "warp_trange_r",
-    ),
-)
-def pyramid_level_step(
+def _pyramid_level_body(
     im1,
     im2,
     state_f,
@@ -1138,6 +1173,8 @@ def pyramid_level_step(
     exact_cross_check: bool = False,
     warp_trange_f: tuple[str, int, int] | None = None,
     warp_trange_r: tuple[str, int, int] | None = None,
+    warp_tmin_f=0,
+    warp_tmin_r=0,
 ):
     """One full pyramid level — forward + reverse sweeps and both
     cross-checks fused into a single program (each dispatch over the TPU
@@ -1166,12 +1203,12 @@ def pyramid_level_step(
         state_f = sweep(
             im1, im2, state_f, f_fwd, scale, threshold, min_stdev,
             min_range, extend_range, corridor_size, window_f,
-            warp_trange=warp_trange_f,
+            warp_trange=warp_trange_f, warp_tmin=warp_tmin_f,
         )
         state_r = sweep(
             im2, im1, state_r, f_rev, scale, threshold, min_stdev,
             min_range, extend_range, corridor_size, window_r,
-            warp_trange=warp_trange_r,
+            warp_trange=warp_trange_r, warp_tmin=warp_tmin_r,
         )
     check = cross_check_exact if exact_cross_check else cross_check
     state_f = check(state_f, state_r, scale)
@@ -1181,6 +1218,72 @@ def pyramid_level_step(
 
         state_f, state_r = constrain_rows(mesh, (state_f, state_r))
     return state_f, state_r
+
+
+pyramid_level_step = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "corridor_size", "window_f", "window_r", "first", "use_pallas",
+        "threshold", "min_stdev", "mesh", "exact_cross_check",
+        "warp_trange_f", "warp_trange_r",
+    ),
+)(_pyramid_level_body)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "corridor_size", "threshold", "min_stdev",
+        "exact_cross_check",
+    ),
+)
+def pyramid_program(
+    full1,
+    full2,
+    f_fwd,
+    f_rev,
+    tmins,
+    levels,
+    threshold,
+    min_stdev,
+    min_range,
+    extend_range,
+    corridor_size: int,
+    exact_cross_check: bool,
+):
+    """The WHOLE coarse-to-fine pyramid as one program.
+
+    With a fixed corridor window there are no host decisions between
+    levels, so fusing them removes the per-level program-send latency of
+    the TPU tunnel (~10-30 ms each; the reference instead fences every
+    kernel dispatch, vulkan.rs:947-948). `levels` is a static tuple of
+    (scale, use_pallas, window_f, window_r, warp_trange_f, warp_trange_r)
+    coarse->fine, where the tranges are split_trange buckets — so the
+    static key depends only on image dimensions, and every pair of a
+    multi-image run reuses one compiled program. `tmins` is the
+    (n_levels, 2) int32 array of dynamic warp shifts [fwd, rev]; device
+    resizes happen inside.
+    """
+    state_f = state_r = empty_state(2, 2)
+    for si, (scale, lvl_pallas, win_f, win_r, wtr_f, wtr_r) in enumerate(
+        levels
+    ):
+        im1 = _device_resize(full1, scale)
+        im2 = _device_resize(full2, scale)
+        state_f, state_r = _pyramid_level_body(
+            im1, im2, state_f, state_r, f_fwd, f_rev, scale, threshold,
+            min_stdev, min_range, extend_range, corridor_size, win_f,
+            win_r,
+            first=si == 0,
+            use_pallas=lvl_pallas,
+            mesh=None,
+            exact_cross_check=exact_cross_check,
+            warp_trange_f=wtr_f,
+            warp_trange_r=wtr_r,
+            warp_tmin_f=tmins[si, 0],
+            warp_tmin_r=tmins[si, 1],
+        )
+    return state_f
 
 
 def normalize_f(f: np.ndarray) -> np.ndarray:
@@ -1250,6 +1353,41 @@ def correlate_images(
         # partition a pallas_call it didn't write).
         use_pallas = False
 
+    if cfg.corridor_window_fixed is not None and mesh is None:
+        # Fixed windows -> no host decisions between levels: run the
+        # whole pyramid as ONE program (see pyramid_program).
+        from cybervision_tpu.ops.pallas_ncc import pick_tile_h
+
+        win = cfg.corridor_window_fixed
+        levels = []
+        tmins = []
+        for si, scale in enumerate(scales):
+            lh1, lw1 = _resized_shape(src1.img.shape, scale)
+            lh2, lw2 = _resized_shape(src2.img.shape, scale)
+            wmax = max(lw1, lw2)
+            lvl_pallas = (
+                use_pallas
+                and si > 0
+                and pick_tile_h(wmax, win, cs) is not None
+            )
+            wtr_f, tmin_f = split_trange(
+                warp_shift_range(f, scale, lh1, lw1, lh2, lw2)
+            )
+            wtr_r, tmin_r = split_trange(
+                warp_shift_range(f.T, scale, lh2, lw2, lh1, lw1)
+            )
+            levels.append((scale, lvl_pallas, win, win, wtr_f, wtr_r))
+            tmins.append((tmin_f, tmin_r))
+        state_f = pyramid_program(
+            full1, full2, f_fwd, f_rev,
+            jnp.asarray(np.array(tmins, np.int32)), tuple(levels),
+            threshold, min_stdev, min_range, extend_range, cs,
+            cfg.exact_cross_check,
+        )
+        if progress is not None:
+            progress.report_status(1.0)
+        return _finish_correlate(state_f, src1, src2, device_out)
+
     state_f = state_r = None
     total = sum(s * s for s in scales)
     done = 0.0
@@ -1279,6 +1417,17 @@ def correlate_images(
                 level_pallas = False  # working set over VMEM: scan path
         lh1, lw1 = im1.shape
         lh2, lw2 = im2.shape
+        # Gather-free warps assume unsharded arrays (the per-band
+        # dynamic slices would cross shard boundaries); the sharded
+        # path keeps the gather form GSPMD knows how to partition.
+        wtr_f, tmin_f = split_trange(
+            None if mesh is not None
+            else warp_shift_range(f, scale, lh1, lw1, lh2, lw2)
+        )
+        wtr_r, tmin_r = split_trange(
+            None if mesh is not None
+            else warp_shift_range(f.T, scale, lh2, lw2, lh1, lw1)
+        )
         state_f, state_r = pyramid_level_step(
             im1, im2, state_f, state_r, f_fwd, f_rev, scale, threshold,
             min_stdev, min_range, extend_range, cs, win_f, win_r,
@@ -1286,22 +1435,26 @@ def correlate_images(
             use_pallas=level_pallas,
             mesh=mesh,
             exact_cross_check=cfg.exact_cross_check,
-            # Gather-free warps assume unsharded arrays (the per-band
-            # dynamic slices would cross shard boundaries); the sharded
-            # path keeps the gather form GSPMD knows how to partition.
-            warp_trange_f=(
-                None if mesh is not None
-                else warp_shift_range(f, scale, lh1, lw1, lh2, lw2)
-            ),
-            warp_trange_r=(
-                None if mesh is not None
-                else warp_shift_range(f.T, scale, lh2, lw2, lh1, lw1)
-            ),
+            warp_trange_f=wtr_f,
+            warp_trange_r=wtr_r,
+            warp_tmin_f=tmin_f,
+            warp_tmin_r=tmin_r,
         )
         done += scale * scale
         if progress is not None:
             progress.report_status(done / total)
 
+    return _finish_correlate(state_f, src1, src2, device_out)
+
+
+def _resized_shape(shape: tuple[int, int], scale: float) -> tuple[int, int]:
+    """Output dims of _device_resize (truncated, reconstruction.rs:148-150)."""
+    if scale == 1.0:
+        return shape
+    return int(shape[0] * scale), int(shape[1] * scale)
+
+
+def _finish_correlate(state_f, src1, src2, device_out):
     if device_out:
         # Leave the packed state on device: the affine depth-map fast
         # lane consumes the (H, W, 3) planes there, skipping a 12 MB

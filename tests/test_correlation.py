@@ -326,6 +326,89 @@ def test_correlate_images_end_to_end(rng):
     assert np.median(err_y) <= 1.0
 
 
+def test_fused_pyramid_matches_per_level_loop(rng):
+    """correlate_images' single fused pyramid program (pyramid_program)
+    must equal dispatching pyramid_level_step per level."""
+    from cybervision_tpu.config import pyramid_scales
+
+    h, w, dx = 96, 80, 3
+    img1, img2 = _shifted_pair(rng, h, w, dx, blur=1.2)
+    cfg = CorrelationConfig(scale_min_size=32)
+    assert cfg.corridor_window_fixed is not None  # fused path active
+    fused = corr.correlate_images(
+        _FakeSource(img1), _FakeSource(img2), F_HSHIFT,
+        ProjectionMode.AFFINE, cfg,
+    )
+
+    # Per-level loop with the same fixed windows (the pre-fusion driver).
+    f = corr.normalize_f(F_HSHIFT)
+    f_fwd = jnp.asarray(f, jnp.float32)
+    f_rev = jnp.asarray(f.T, jnp.float32)
+    full1, full2 = jnp.asarray(img1), jnp.asarray(img2)
+    thr = cfg.threshold(ProjectionMode.AFFINE)
+    stdev = cfg.min_stdev(ProjectionMode.AFFINE)
+    cs = cfg.corridor_size(ProjectionMode.AFFINE)
+    win = cfg.corridor_window_fixed
+    state_f = state_r = corr.empty_state(2, 2)
+    for si, scale in enumerate(pyramid_scales((w, h), cfg.scale_min_size)):
+        im1 = corr._device_resize(full1, scale)
+        im2 = corr._device_resize(full2, scale)
+        lh1, lw1 = im1.shape
+        lh2, lw2 = im2.shape
+        wtr_f, tmin_f = corr.split_trange(
+            corr.warp_shift_range(f, scale, lh1, lw1, lh2, lw2)
+        )
+        wtr_r, tmin_r = corr.split_trange(
+            corr.warp_shift_range(f.T, scale, lh2, lw2, lh1, lw1)
+        )
+        state_f, state_r = corr.pyramid_level_step(
+            im1, im2, state_f, state_r, f_fwd, f_rev, scale, thr, stdev,
+            cfg.corridor_min_range(ProjectionMode.AFFINE),
+            cfg.corridor_extend_range(ProjectionMode.AFFINE),
+            cs, win, win, first=si == 0, use_pallas=False,
+            warp_trange_f=wtr_f, warp_trange_r=wtr_r,
+            warp_tmin_f=tmin_f, warp_tmin_r=tmin_r,
+        )
+    loop = np.asarray(corr._pack_state(state_f), np.int64)
+    np.testing.assert_array_equal(fused, loop)
+
+
+def test_fused_pyramid_compiles_once_across_pairs(rng):
+    """Different image pairs (different F shifts, same dims) must share
+    ONE compiled pyramid_program — split_trange moves tmin out of the
+    static key, so multi-image runs don't recompile the dense pyramid
+    per pair (~45 s each over the TPU tunnel)."""
+    h, w, dx = 96, 80, 3
+    cfg = CorrelationConfig(scale_min_size=32)
+    img1, img2 = _shifted_pair(rng, h, w, dx, blur=1.2)
+    # F_VOFF's epipolar lines sit one row below the true match (tmin=-1
+    # at every level vs F_HSHIFT's 0, same split_trange bucket); the
+    # +-corridor stripes still cover the match.
+    f_voff = np.array(
+        [[0, 0, 0], [0, 0, 1], [0, -1, 1]], dtype=np.float64
+    )
+    outs = []
+    before = None
+    for fmat in (F_HSHIFT, f_voff):
+        assert corr.split_trange(
+            corr.warp_shift_range(corr.normalize_f(fmat), 1.0, h, w, h, w)
+        )[0] == ("horiz", 2, 8)
+        outs.append(corr.correlate_images(
+            _FakeSource(img1), _FakeSource(img2), fmat,
+            ProjectionMode.AFFINE, cfg,
+        ))
+        if before is None:
+            before = corr.pyramid_program._cache_size()
+    assert corr.pyramid_program._cache_size() == before
+    # And the shifted-F pair still correlates correctly (tmin really is
+    # applied dynamically, not baked at first trace).
+    valid = outs[1][:, :, 2] > 0
+    ys, xs = np.nonzero(valid)
+    assert valid.mean() > 0.2
+    assert np.median(np.abs(outs[1][:, :, 0][valid] - (xs - dx))) <= 1.0
+    assert np.median(np.abs(outs[1][:, :, 1][valid] - ys)) <= 1.0
+
+
 def test_stripe_warps_fast_matches_gather(rng):
     """The shift/select warp fast path (warp_shift_range) must equal the
     gather path at every pixel whose candidate is in-bounds, for
@@ -361,7 +444,8 @@ def test_stripe_warps_fast_matches_gather(rng):
             jnp.asarray(fmat, jnp.float32), 1.0, 0.6, 1.0, 2.5, 1.0, 2, 8,
         )
         st_gather = corr.refine_pass(*args, warp_trange=None)
-        st_fast = corr.refine_pass(*args, warp_trange=trange)
+        wtr, tmin = corr.split_trange(trange)
+        st_fast = corr.refine_pass(*args, warp_trange=wtr, warp_tmin=tmin)
         np.testing.assert_array_equal(
             np.asarray(st_gather.valid), np.asarray(st_fast.valid), name
         )
