@@ -757,14 +757,18 @@ def find_fundamental_matrix(
     if m < d + n:
         raise RansacError("Not enough matches")
 
-    # The match count is data-dependent; pad to a power-of-two bucket
-    # with a validity mask so the sweep program comes out of the compile
-    # cache for any input (m_valid gates scoring; sampling draws from the
+    # The match count is data-dependent; pad to a bucket with a validity
+    # mask so the sweep program comes out of the compile cache for any
+    # input (m_valid gates scoring; sampling draws from the
     # [0, top_limit) prefix, which is always real rows since matches are
-    # sorted and the padding is appended).
-    from cybervision_tpu.ops.matching import _len_bucket
-
-    mb = _len_bucket(m, floor=512)
+    # sorted and the padding is appended). Buckets step 4x from 2048 —
+    # scoring padded zeros is vectorized noise, while each extra bucket
+    # is a fresh multi-program RANSAC compile (~1-3 min over the TPU
+    # tunnel), so scenes whose match counts wobble pair to pair must
+    # land on ONE bucket.
+    mb = 2048
+    while mb < m:
+        mb *= 4
     mpad = np.zeros((mb, 4), matches.dtype)
     mpad[:m] = matches
     p1 = jnp.asarray(mpad[:, 0:2], jnp.float32)
