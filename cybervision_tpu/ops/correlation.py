@@ -829,16 +829,28 @@ def refine_pass(
         def step(carry, u, pstack=pstack):
             best_corr, best_x, best_y = carry
             # out(p) = x(p + u e_axis): slice at row offset pad+u or col
-            # offset pad+u, selected per pixel by the dominant axis.
+            # offset pad+u, selected per pixel by the dominant axis —
+            # statically when warp_trange pins the axis (affine F), which
+            # halves the slice traffic and drops the select.
             zero = jnp.int32(0)
             pw = jnp.int32(pad_w)
-            sl_y = jax.lax.dynamic_slice(
-                pstack, (zero, pw + u, pw), (7, h1, w1)
-            )
-            sl_x = jax.lax.dynamic_slice(
-                pstack, (zero, pw, pw + u), (7, h1, w1)
-            )
-            sl = jnp.where(vert[None], sl_y, sl_x)
+            if warp_trange is not None:
+                if warp_trange[0] == "vert":
+                    sl = jax.lax.dynamic_slice(
+                        pstack, (zero, pw + u, pw), (7, h1, w1)
+                    )
+                else:
+                    sl = jax.lax.dynamic_slice(
+                        pstack, (zero, pw, pw + u), (7, h1, w1)
+                    )
+            else:
+                sl_y = jax.lax.dynamic_slice(
+                    pstack, (zero, pw + u, pw), (7, h1, w1)
+                )
+                sl_x = jax.lax.dynamic_slice(
+                    pstack, (zero, pw, pw + u), (7, h1, w1)
+                )
+                sl = jnp.where(vert[None], sl_y, sl_x)
             wr, avg_w, sd_w, qxf, qyf, inbr, idx_eval = (
                 sl[0], sl[1], sl[2], sl[3], sl[4], sl[5], sl[6]
             )
@@ -848,11 +860,18 @@ def refine_pass(
                 sd_w, 1e-12
             )
 
-            src_ok = jnp.where(
-                vert,
-                (ys_idx + u >= 0) & (ys_idx + u < h1),
-                (xs_idx + u >= 0) & (xs_idx + u < w1),
-            )
+            if warp_trange is not None:
+                src_ok = (
+                    (ys_idx + u >= 0) & (ys_idx + u < h1)
+                    if warp_trange[0] == "vert"
+                    else (xs_idx + u >= 0) & (xs_idx + u < w1)
+                )
+            else:
+                src_ok = jnp.where(
+                    vert,
+                    (ys_idx + u >= 0) & (ys_idx + u < h1),
+                    (xs_idx + u >= 0) & (xs_idx + u < w1),
+                )
             ok = (
                 src_ok
                 & (inbr > 0.5)
@@ -913,6 +932,43 @@ def refine_pass_pallas(
     loop. Math-identical to refine_pass (tested via interpret mode)."""
     from cybervision_tpu.ops import pallas_ncc
 
+    if warp_trange is not None and warp_trange[0] == "horiz":
+        # Horizontal corridors sweep u along image columns — the lane
+        # dimension, where TPU dynamic rotates cost a cross-lane shuffle
+        # per step. Transpose the whole problem (F -> S F S with S the
+        # x/y swap) so the kernel's u rolls ride the cheap sublane axis;
+        # the stripe-warp prologue double-transposes back to row-major
+        # internally, so only the kernel sees the transposed layout.
+        swap = jnp.asarray(
+            [[0.0, 1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+            f.dtype,
+        )
+        out = refine_pass_pallas(
+            img1.T,
+            img2.T,
+            CorrelationState(
+                pos=prev.pos.transpose(1, 0, 2)[:, :, ::-1],
+                corr=prev.corr.T,
+                valid=prev.valid.T,
+            ),
+            swap @ f @ swap,
+            scale,
+            threshold,
+            min_stdev,
+            min_range,
+            extend_range,
+            corridor_size,
+            window,
+            interpret=interpret,
+            warp_trange=("vert",) + warp_trange[1:],
+            warp_tmin=warp_tmin,
+        )
+        return CorrelationState(
+            pos=out.pos.transpose(1, 0, 2)[:, :, ::-1],
+            corr=out.corr.T,
+            valid=out.valid.T,
+        )
+
     h1, w1 = img1.shape
     h2, w2 = img2.shape
     img1 = img1.astype(jnp.float32)
@@ -954,6 +1010,10 @@ def refine_pass_pallas(
         h2=h2,
         w2=w2,
         interpret=interpret,
+        # warp_trange implies an affine F whose dominant axis is global
+        # (epipolar_fields' per-pixel vert = |f01|>|f12| is then
+        # constant), so the kernel compiles only that axis's rolls.
+        axis=warp_trange[0] if warp_trange is not None else None,
     )
 
     inv_s = jnp.round(1.0 / scale).astype(jnp.int32)

@@ -133,7 +133,13 @@ def _sweep_kernel(
     h: int,
     h2: int,
     w2: int,
+    axis: str | None,
 ):
+    """axis: the epipolar dominant axis when it is globally static
+    ("vert"/"horiz" — affine F, known from warp_shift_range) or None
+    (perspective F: per-pixel `vert` field). A static axis compiles only
+    the needed roll direction and drops every per-pixel vert select —
+    the dual-variant path does ~2x the roll work per u step."""
     wd = window
     f32 = jnp.float32
 
@@ -161,9 +167,12 @@ def _sweep_kernel(
             pltpu.make_async_copy(
                 img1_hbm.at[pl.ds(row0, r_img), :], s_img, sems.at[jnp.int32(0)]
             ),
-            pltpu.make_async_copy(
+        ]
+        if axis is None:
+            copies.append(pltpu.make_async_copy(
                 vert_hbm.at[pl.ds(row0, r_img), :], s_vert, sems.at[jnp.int32(1)]
-            ),
+            ))
+        copies += [
             pltpu.make_async_copy(
                 cen_hbm.at[pl.ds(row0, r_f), :], s_cen, sems.at[jnp.int32(2)]
             ),
@@ -199,14 +208,18 @@ def _sweep_kernel(
         for c in copies:
             c.wait()
 
-        vert_c = s_vert[pl.ds(KS, tile_h), pl.ds(KS, w)] > f32(0.5)
+        if axis is None:
+            vert_c = s_vert[pl.ds(KS, tile_h), pl.ds(KS, w)] > f32(0.5)
         avg1 = s_avg1[:, 0:w]
         isd1 = s_isd1[:, 0:w]
         start = s_start[:, 0:w]
         end = s_end[:, 0:w]
         pok = s_pok[:, 0:w] > f32(0.5)
         img_slab = s_img[0 : tile_h + 2 * KS, 0 : w + 2 * KS]
-        vert_slab = s_vert[0 : tile_h + 2 * KS, 0 : w + 2 * KS] > f32(0.5)
+        if axis is None:
+            vert_slab = (
+                s_vert[0 : tile_h + 2 * KS, 0 : w + 2 * KS] > f32(0.5)
+            )
 
         row_ids = (
             jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0) + row0
@@ -262,14 +275,23 @@ def _sweep_kernel(
                 wds = jnp.int32(wd)
 
                 def fshift(buf, rows, cols):
+                    if axis == "vert":
+                        return rolled(buf, rows, cols, wdu, wds, tile_h, w)
+                    if axis == "horiz":
+                        return rolled(buf, rows, cols, wds, wdu, tile_h, w)
                     r = rolled(buf, rows, cols, wdu, wds, tile_h, w)
                     cc = rolled(buf, rows, cols, wds, wdu, tile_h, w)
                     return jnp.where(vert_c, r, cc)
 
                 cen_u = fshift(cen_full, f_rows, f_cols)
                 off = fshift(off0_full, f_rows, f_cols) + o_val
-                qx = jnp.where(vert_c, off, cen_u)
-                qy = jnp.where(vert_c, cen_u, off)
+                if axis == "vert":
+                    qx, qy = off, cen_u
+                elif axis == "horiz":
+                    qx, qy = cen_u, off
+                else:
+                    qx = jnp.where(vert_c, off, cen_u)
+                    qy = jnp.where(vert_c, cen_u, off)
                 inb = (
                     (qx >= f32(KS))
                     & (qx < f32(w2 - KS))
@@ -280,15 +302,26 @@ def _sweep_kernel(
                 w0_buf = s_w0[oi]
                 w_rows = s_w0.shape[1]
                 w_cols = s_w0.shape[2]
-                wr = rolled(
-                    w0_buf, w_rows, w_cols, wdu, wds,
-                    tile_h + 2 * KS, w + 2 * KS,
-                )
-                wc = rolled(
-                    w0_buf, w_rows, w_cols, wds, wdu,
-                    tile_h + 2 * KS, w + 2 * KS,
-                )
-                warp = jnp.where(vert_slab, wr, wc)
+                if axis == "vert":
+                    warp = rolled(
+                        w0_buf, w_rows, w_cols, wdu, wds,
+                        tile_h + 2 * KS, w + 2 * KS,
+                    )
+                elif axis == "horiz":
+                    warp = rolled(
+                        w0_buf, w_rows, w_cols, wds, wdu,
+                        tile_h + 2 * KS, w + 2 * KS,
+                    )
+                else:
+                    wr = rolled(
+                        w0_buf, w_rows, w_cols, wdu, wds,
+                        tile_h + 2 * KS, w + 2 * KS,
+                    )
+                    wc = rolled(
+                        w0_buf, w_rows, w_cols, wds, wdu,
+                        tile_h + 2 * KS, w + 2 * KS,
+                    )
+                    warp = jnp.where(vert_slab, wr, wc)
 
                 cross = _box11(img_slab * warp, tile_h, w)
                 b_rows = s_sw.shape[0]
@@ -309,13 +342,18 @@ def _sweep_kernel(
 
                 # where() on i1 vectors hits an unsupported truncation
                 # in Mosaic; select float masks instead.
-                maskr = (
-                    (row_ids + u >= 0) & (row_ids + u < h)
-                ).astype(f32)
-                maskc = (
-                    (col_ids + u >= 0) & (col_ids + u < w)
-                ).astype(f32)
-                src_ok = jnp.where(vert_c, maskr, maskc) > f32(0.5)
+                if axis == "vert":
+                    src_ok = (row_ids + u >= 0) & (row_ids + u < h)
+                elif axis == "horiz":
+                    src_ok = (col_ids + u >= 0) & (col_ids + u < w)
+                else:
+                    maskr = (
+                        (row_ids + u >= 0) & (row_ids + u < h)
+                    ).astype(f32)
+                    maskc = (
+                        (col_ids + u >= 0) & (col_ids + u < w)
+                    ).astype(f32)
+                    src_ok = jnp.where(vert_c, maskr, maskc) > f32(0.5)
                 ok = (
                     src_ok
                     & inb
@@ -368,7 +406,7 @@ def _sweep_kernel(
     jax.jit,
     static_argnames=(
         "window", "corridor_size", "tile_h", "interpret", "h2", "w2",
-        "threshold", "min_stdev",
+        "threshold", "min_stdev", "axis",
     ),
 )
 def ncc_sweep(
@@ -392,9 +430,12 @@ def ncc_sweep(
     w2: int,
     tile_h: int | None = None,
     interpret: bool = False,
+    axis: str | None = None,
 ):
     """Sweep over row tiles. All field inputs are (H, W) f32 (vert/p_ok as
-    0/1); w0 is (n_o, H, W) f32 base warps.
+    0/1); w0 is (n_o, H, W) f32 base warps. axis statically fixes the
+    epipolar dominant axis ("vert"/"horiz", see _sweep_kernel) — the
+    `vert` input is then ignored.
     Returns (best_corr f32, best_x i32, best_y i32) at (H, W)."""
     h, w = img1.shape
     n_o = w0.shape[0]
@@ -456,6 +497,7 @@ def ncc_sweep(
         h=h,
         h2=h2,
         w2=w2,
+        axis=axis,
     )
 
     out_shape = [
