@@ -126,8 +126,16 @@ def window_stats(img: jnp.ndarray):
 # Epipolar geometry per pixel
 
 
-def epipolar_fields(f: jnp.ndarray, h: int, w: int, scale: float):
+def epipolar_fields(
+    f: jnp.ndarray, h: int, w: int, scale: float,
+    force_vert: bool | None = None,
+):
     """Per-pixel corridor parametrization (correlation/mod.rs:386-409).
+
+    force_vert pins the dominant axis globally instead of the per-pixel
+    |a|>|b| test — used when a static-axis sweep (warp_shift_range's f64
+    decision) must agree exactly with these f32 fields, including
+    |a| == |b| ties that round differently in f32.
 
     Returns dict with:
       vert: (H, W) bool — corridor parametrized by y2 (the dominant-axis
@@ -152,7 +160,10 @@ def epipolar_fields(f: jnp.ndarray, h: int, w: int, scale: float):
     a = jnp.broadcast_to(a, (h, w))
     b = jnp.broadcast_to(b, (h, w))
     sc = jnp.broadcast_to(sc, (h, w))
-    vert = jnp.abs(a) > jnp.abs(b)
+    if force_vert is None:
+        vert = jnp.abs(a) > jnp.abs(b)
+    else:
+        vert = jnp.full((h, w), force_vert)
     denom = jnp.where(vert, a, b)
     safe = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
     coeff = jnp.where(vert, -b, -a) / safe
@@ -751,7 +762,10 @@ def refine_pass(
     img2 = img2.astype(jnp.float32)
 
     avg1, sd1, ok1 = window_stats(img1)
-    ep = epipolar_fields(f, h1, w1, scale)
+    ep = epipolar_fields(
+        f, h1, w1, scale,
+        force_vert=None if warp_trange is None else warp_trange[0] == "vert",
+    )
     center, start, end, has = _corridor_ranges(
         ep, prev, h1, w1, h2, w2, scale, min_range, extend_range
     )
@@ -975,7 +989,10 @@ def refine_pass_pallas(
     img2 = img2.astype(jnp.float32)
 
     avg1, sd1, ok1 = window_stats(img1)
-    ep = epipolar_fields(f, h1, w1, scale)
+    ep = epipolar_fields(
+        f, h1, w1, scale,
+        force_vert=None if warp_trange is None else warp_trange[0] == "vert",
+    )
     center, start, end, has = _corridor_ranges(
         ep, prev, h1, w1, h2, w2, scale, min_range, extend_range
     )
