@@ -50,10 +50,10 @@ def save_pair(d, h, w):
     return p1, p2
 
 
-def run(p1, p2, out_path, cfg):
+def run(paths, out_path, cfg):
     from cybervision_tpu.reconstruction import Reconstruction
 
-    rec = Reconstruction([p1, p2], out_path, cfg, quiet=True)
+    rec = Reconstruction(list(paths), out_path, cfg, quiet=True)
     t0 = time.time()
     rec.run()
     return time.time() - t0
@@ -102,6 +102,53 @@ def correlation_throughput(p1, p2, n_runs=3, projection=None):
     return pixels / dt / 1e6, dt
 
 
+def sfm_three_view_seconds(td, n_runs=3):
+    """Multi-image perspective SFM e2e: 3 rendered 320x256 views of one
+    world surface -> pose recovery (device P3P RANSAC) -> dense
+    correlation of every linked pair (software-pipelined) -> track
+    merge -> DLT -> bundle adjustment -> merged vertex-colored PLY.
+    RANSAC iteration counts are the e2e test's moderated ones
+    (tests/test_pipeline_perspective.py) so the bench stays bounded."""
+    import numpy as np
+    from PIL import Image
+
+    from cybervision_tpu.config import (
+        InterpolationMode,
+        MeshMode,
+        ProjectionMode,
+        RansacConfig,
+        ReconstructionConfig,
+        TriangulationConfig,
+    )
+    from tests.perspective_scene import pair_cam, render_views, third_cam
+
+    rng = np.random.RandomState(3)
+    views = render_views(rng, [pair_cam(), third_cam()])
+    paths = []
+    for i, img in enumerate(views):
+        p = os.path.join(td, f"sfm{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    cfg = ReconstructionConfig(
+        projection=ProjectionMode.PERSPECTIVE,
+        interpolation=InterpolationMode.DELAUNAY,
+        mesh=MeshMode.VERTEX_COLORS,
+        focal_length=43,
+        ransac=RansacConfig(
+            ransac_k_perspective=16384,
+            check_interval=4096,
+            ransac_d_perspective=60,
+            ransac_d_early_exit_perspective=150,
+        ),
+        triangulation=TriangulationConfig(ransac_k=4000, check_interval=1000),
+    )
+    run(paths, os.path.join(td, "sfm_warm.ply"), cfg)
+    return min(
+        run(paths, os.path.join(td, f"sfm{i}.ply"), cfg)
+        for i in range(n_runs)
+    )
+
+
 def main():
     import tempfile
 
@@ -133,25 +180,26 @@ def main():
         p1, p2 = save_pair(td, 1024, 1024)
         # Warm-up both configs at full size: compiles every
         # (shape, bucket) program once.
-        run(p1, p2, os.path.join(td, "warm.png"), cfg_depth)
-        run(p1, p2, os.path.join(td, "warm.ply"), cfg_ply)
+        run([p1, p2], os.path.join(td, "warm.png"), cfg_depth)
+        run([p1, p2], os.path.join(td, "warm.ply"), cfg_ply)
         # Best of 3: the host vCPU is heavily bursty (20x variance on
         # identical numpy work), so a single sample is meaningless.
         depth_s = min(
-            run(p1, p2, os.path.join(td, f"out{i}.png"), cfg_depth)
+            run([p1, p2], os.path.join(td, f"out{i}.png"), cfg_depth)
             for i in range(3)
         )
         # The PLY config carries ~1 s of host-side work (mesh/writer/IO)
         # exposed to the bursty host vCPU (20x swings) — more reps for a
         # stable minimum.
         ply_s = min(
-            run(p1, p2, os.path.join(td, f"out{i}.ply"), cfg_ply)
+            run([p1, p2], os.path.join(td, f"out{i}.ply"), cfg_ply)
             for i in range(8)
         )
         mpix_s, corr_s = correlation_throughput(p1, p2)
         persp_mpix_s, persp_corr_s = correlation_throughput(
             p1, p2, projection=ProjectionMode.PERSPECTIVE
         )
+        sfm_s = sfm_three_view_seconds(td)
 
     result = {
         "metric": "e2e_1024x1024_sem_pair_to_ply_mesh_seconds",
@@ -166,6 +214,7 @@ def main():
             "perspective_dense_correlation_mpix_per_s_per_chip": round(
                 persp_mpix_s, 1
             ),
+            "sfm_3view_320x256_to_merged_ply_seconds": round(sfm_s, 3),
         },
     }
     print(json.dumps(result))

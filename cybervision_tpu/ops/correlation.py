@@ -1547,13 +1547,21 @@ def _finish_correlate(state_f, src1, src2, device_out):
         # Positions fit 12 bits each: fetch one (H, W) int32 word per
         # pixel (4 MB at 1024^2) instead of three planes (12 MB) — the
         # tunnel transfer is the tail of the dense phase.
-        word = np.asarray(_pack_state_compact(state_f))
-        packed = np.empty((*word.shape, 3), np.int64)
-        packed[:, :, 0] = word & 0xFFF
-        packed[:, :, 1] = (word >> 12) & 0xFFF
-        packed[:, :, 2] = (word >> 24) & 1
-        return packed
+        return unpack_correlated(np.asarray(_pack_state_compact(state_f)))
     packed = np.asarray(_pack_state(state_f), np.int64)
+    return packed
+
+
+def unpack_correlated(arr: np.ndarray) -> np.ndarray:
+    """Host tail for a fetched device_out result: expand a compact
+    (H, W) int32 word — or pass through (H, W, 3) planes — to the
+    (H, W, 3) int64 (x2, y2, valid) grid correlate_images returns."""
+    if arr.ndim == 3:
+        return arr.astype(np.int64)
+    packed = np.empty((*arr.shape, 3), np.int64)
+    packed[:, :, 0] = arr & 0xFFF
+    packed[:, :, 1] = (arr >> 12) & 0xFFF
+    packed[:, :, 2] = (arr >> 24) & 1
     return packed
 
 

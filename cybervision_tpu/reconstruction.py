@@ -296,7 +296,24 @@ class Reconstruction:
             raise TriangulationError("No matching image pairs found")
 
         # Dense correlation of linked pairs + per-image track merging
-        # (reconstruction.rs:668-730).
+        # (reconstruction.rs:668-730). Pairs are software-pipelined one
+        # deep: each pair's pyramid program is dispatched (async, no host
+        # syncs in fixed-window mode) with its result left on device, and
+        # the PREVIOUS pair's fetch + host track extension run while the
+        # device works — the host/device overlap the reference's
+        # fence-per-dispatch design can't express (vulkan.rs:947-948).
+        pending: tuple[int, int, object] | None = None
+
+        def flush_pending() -> None:
+            nonlocal pending
+            if pending is None:
+                return
+            pi, pj, dev = pending
+            pending = None
+            grid = correlation.unpack_correlated(np.asarray(dev))
+            with PhaseTimer("Added dense image pair", self.quiet):
+                pipeline.add_dense_pair(pi, pj, grid)
+
         for i in range(n - 1):
             if i not in linked:
                 continue
@@ -306,8 +323,12 @@ class Reconstruction:
                 f = pipeline.pair_f(i, j)
                 if f is None:
                     continue
+                img_i, img_j = self.image(i), self.image(j)
+                compact = max(*img_i.dimensions, *img_j.dimensions) <= 4096
                 try:
-                    correlated = self.correlate_pair(i, j, f)
+                    correlated = self.correlate_pair(
+                        i, j, f, device_out="word" if compact else True
+                    )
                 except Exception as err:  # log-and-continue, like
                     # reconstruction.rs:719-723
                     print(
@@ -315,8 +336,11 @@ class Reconstruction:
                         file=sys.stderr,
                     )
                     continue
-                with PhaseTimer("Added dense image pair", self.quiet):
-                    pipeline.add_dense_pair(i, j, correlated)
+                flush_pending()
+                pending = (i, j, correlated)
+            # Tracks for image i must include every (i, *) pair before
+            # the merge; drain the pipeline.
+            flush_pending()
             with PhaseTimer(
                 f"Merged tracks for {self.filenames[i]}", self.quiet
             ):
