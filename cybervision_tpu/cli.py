@@ -139,11 +139,42 @@ def _parse_num(name, value, cast):
         raise SystemExit(2) from None
 
 
+def _reexec_for_cpu_backend() -> None:
+    """--mode=cpu needs a healthy XLA:CPU. Hosts that boot every
+    interpreter with a remote-TPU PJRT sitecustomize (trigger env var
+    PALLAS_AXON_POOL_IPS) poison CPU-backend execution — device->host
+    fetches hang — and the sitecustomize runs before any of our code, so
+    the only reliable fix is to relaunch once with the trigger removed
+    (the same pattern as the test runner's conftest.py)."""
+    import os
+
+    if (
+        not os.environ.get("PALLAS_AXON_POOL_IPS")
+        or os.environ.get("CVTPU_CPU_REEXEC") == "1"
+    ):
+        return
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # The same hosts pin JAX_PLATFORMS to the remote plugin; --mode=cpu
+    # explicitly targets the CPU backend, so force it.
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CVTPU_CPU_REEXEC"] = "1"
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "cybervision_tpu", *sys.argv[1:]],
+        env,
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     print(f"Cybervision-TPU version {__version__}")
     cfg, img_src, img_out = parse_args(
         argv if argv is not None else sys.argv[1:]
     )
+    if cfg.hardware == HardwareMode.CPU and argv is None:
+        # Only for real CLI invocations (argv is None): in-process
+        # callers (tests) manage their own environment.
+        _reexec_for_cpu_backend()
 
     from cybervision_tpu.reconstruction import reconstruct
 
