@@ -149,6 +149,33 @@ def sfm_three_view_seconds(td, n_runs=3):
     )
 
 
+def hires_texture_obj_seconds(td, n_runs=2):
+    """BASELINE config #4: a 4032x3024 pair (the reference's max
+    practical size, README.md:83) with --max-points and a
+    texture-coordinates OBJ through the full pipeline. Env-gated
+    (CVTPU_BENCH_HIRES=1) — it adds minutes of compile + host mesh work
+    to the default bench run."""
+    from cybervision_tpu.config import (
+        InterpolationMode,
+        MeshMode,
+        ProjectionMode,
+        ReconstructionConfig,
+    )
+
+    p1, p2 = save_pair(td, 3024, 4032)
+    cfg = ReconstructionConfig(
+        projection=ProjectionMode.AFFINE,
+        interpolation=InterpolationMode.DELAUNAY,
+        mesh=MeshMode.TEXTURE_COORDINATES,
+        max_points=500_000,
+    )
+    run([p1, p2], os.path.join(td, "hires_warm.obj"), cfg)
+    return min(
+        run([p1, p2], os.path.join(td, f"hires{i}.obj"), cfg)
+        for i in range(n_runs)
+    )
+
+
 def main():
     import tempfile
 
@@ -200,6 +227,11 @@ def main():
             p1, p2, projection=ProjectionMode.PERSPECTIVE
         )
         sfm_s = sfm_three_view_seconds(td)
+        hires_s = (
+            hires_texture_obj_seconds(td)
+            if os.environ.get("CVTPU_BENCH_HIRES")
+            else None
+        )
 
     result = {
         "metric": "e2e_1024x1024_sem_pair_to_ply_mesh_seconds",
@@ -217,6 +249,10 @@ def main():
             "sfm_3view_320x256_to_merged_ply_seconds": round(sfm_s, 3),
         },
     }
+    if hires_s is not None:
+        result["extra"]["hires_4032x3024_texture_obj_seconds"] = round(
+            hires_s, 3
+        )
     print(json.dumps(result))
     return 0
 
