@@ -466,7 +466,12 @@ def ncc_sweep(
         )
 
     img1_p = pad(img1, KS)
-    vert_p = pad(vert, KS)
+    # A static axis never reads the vert field (see _sweep_kernel): pass
+    # a minimal dummy instead of padding + transferring a full-image
+    # plane per refine level.
+    vert_p = (
+        jnp.zeros((8, 128), jnp.float32) if axis is not None else pad(vert, KS)
+    )
     cen_p = pad(center, wd)
     coe_p = pad(coeff, wd)
     add_p = pad(add, wd)
@@ -512,7 +517,12 @@ def ncc_sweep(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((ru(tile_h + 2 * KS, 8), ru(w + 2 * KS, 128)), jnp.float32),
-            pltpu.VMEM((ru(tile_h + 2 * KS, 8), ru(w + 2 * KS, 128)), jnp.float32),
+            pltpu.VMEM(
+                (8, 128)
+                if axis is not None
+                else (ru(tile_h + 2 * KS, 8), ru(w + 2 * KS, 128)),
+                jnp.float32,
+            ),
             pltpu.VMEM((ru(tile_h + 2 * wd, 8), ru(w + 2 * wd, 128)), jnp.float32),
             pltpu.VMEM((ru(tile_h + 2 * wd, 8), ru(w + 2 * wd, 128)), jnp.float32),
             pltpu.VMEM((ru(tile_h + 2 * wd, 8), ru(w + 2 * wd, 128)), jnp.float32),
