@@ -134,6 +134,7 @@ class Reconstruction:
         import contextlib
         import os
 
+        _enable_compile_cache()
         profile_dir = os.environ.get("CVTPU_PROFILE")
         profiler = (
             _jax_trace(profile_dir) if profile_dir else contextlib.nullcontext()
@@ -401,6 +402,31 @@ class Reconstruction:
                 self.cfg.mesh,
                 output_cfg=self.cfg.output,
             )
+
+
+def _enable_compile_cache() -> None:
+    """Persist compiled executables across runs unless the user already
+    configured a cache. Compiles dominate cold CLI runs (remote-TPU
+    compile services can take ~45 s per program; the pyramid compile key
+    is shared across pairs and runs, so a warm cache drops them all)."""
+    import os
+
+    import jax
+
+    if (
+        os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or jax.config.jax_compilation_cache_dir
+    ):
+        return
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "cybervision_tpu", "jax"
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # read-only home etc.: run uncached
 
 
 def _jax_trace(profile_dir: str):
