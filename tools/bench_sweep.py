@@ -94,6 +94,15 @@ def main():
         )
         print(f"pallas vert:  {t_v * 1e3:8.1f} ms")
 
+        # Per-pixel-axis variant (perspective F: no static trange, the
+        # kernel compiles both roll directions + selects). Same scene so
+        # the u-loop volume matches; corridor_size stays 2 for
+        # comparability with the rows above.
+        t_pp, o_pp = timed(
+            lambda: corr.refine_pass_pallas(*args)
+        )
+        print(f"pallas per-pixel axis: {t_pp * 1e3:8.1f} ms")
+
 
 if __name__ == "__main__":
     main()
