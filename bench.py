@@ -10,11 +10,16 @@ synthetic 1024^2 SEM-like pair, JIT caches warm. vs_baseline = target /
 measured against the 2.0 s target (>1 is better than target; the
 reference publishes no numbers, BASELINE.md).
 
-extra carries the two other BASELINE.md metrics:
+extra carries the other BASELINE.md metrics:
   * depth_map_seconds — e2e to a PNG depth map (interpolation=none, the
     device fast lane; BASELINE config #1),
   * dense_correlation_mpix_per_s_per_chip — processed pixels (both sweep
-    directions, every pyramid level) / dense-correlation wall-clock.
+    directions, every pyramid level) / dense-correlation wall-clock,
+    for the affine and (separately) perspective parameter sets,
+  * sfm_3view_320x256_to_merged_ply_seconds — multi-image perspective
+    SFM to a merged mesh (BASELINE config #5),
+  * hires_4032x3024_texture_obj_seconds — BASELINE config #4, opt-in
+    via CVTPU_BENCH_HIRES=1 (adds minutes).
 """
 
 import json
