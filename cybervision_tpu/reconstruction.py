@@ -311,7 +311,17 @@ class Reconstruction:
                 return
             pi, pj, dev = pending
             pending = None
-            grid = correlation.unpack_correlated(np.asarray(dev))
+            try:
+                # Async dispatch defers device-side failures to this
+                # fetch; keep the reference's log-and-continue per-pair
+                # semantics here too (reconstruction.rs:719-723).
+                grid = correlation.unpack_correlated(np.asarray(dev))
+            except Exception as err:
+                print(
+                    f"Failed to perform dense correlation of images: {err}",
+                    file=sys.stderr,
+                )
+                return
             with PhaseTimer("Added dense image pair", self.quiet):
                 pipeline.add_dense_pair(pi, pj, grid)
 
