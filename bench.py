@@ -181,8 +181,45 @@ def hires_texture_obj_seconds(td, n_runs=2):
     )
 
 
+def _tpu_alive(timeout_s: int = 150) -> bool:
+    """Bounded probe: remote-TPU plugins can HANG device discovery when
+    the tunnel is down, so the check runs in a killable subprocess."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _maybe_fallback_to_cpu() -> bool:
+    """If the remote-TPU plugin is configured but dead, re-exec once on
+    the CPU backend so the bench records a (degraded, so-labeled) number
+    instead of hanging. Returns True when running in fallback mode."""
+    if os.environ.get("CVTPU_BENCH_CPU") == "1":
+        return True
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False  # no remote plugin: whatever backend is local works
+    if _tpu_alive():
+        return False
+    print("TPU unreachable; rerunning bench on the CPU backend", file=sys.stderr)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CVTPU_BENCH_CPU"] = "1"
+    os.execve(sys.executable, [sys.executable, *sys.argv], env)
+    raise AssertionError("unreachable")
+
+
 def main():
     import tempfile
+
+    cpu_fallback = _maybe_fallback_to_cpu()
 
     import jax
 
@@ -216,28 +253,35 @@ def main():
         run([p1, p2], os.path.join(td, "warm.ply"), cfg_ply)
         # Best of 3: the host vCPU is heavily bursty (20x variance on
         # identical numpy work), so a single sample is meaningless.
+        # CPU-fallback mode (TPU tunnel down) runs single reps — the
+        # number is a liveness record, not the headline.
         depth_s = min(
             run([p1, p2], os.path.join(td, f"out{i}.png"), cfg_depth)
-            for i in range(3)
+            for i in range(1 if cpu_fallback else 3)
         )
         # The PLY config carries ~1 s of host-side work (mesh/writer/IO)
         # exposed to the bursty host vCPU (20x swings) — more reps for a
         # stable minimum.
         ply_s = min(
             run([p1, p2], os.path.join(td, f"out{i}.ply"), cfg_ply)
-            for i in range(8)
+            for i in range(1 if cpu_fallback else 8)
         )
-        mpix_s, corr_s = correlation_throughput(p1, p2)
-        persp_mpix_s, persp_corr_s = correlation_throughput(
-            p1, p2, projection=ProjectionMode.PERSPECTIVE
-        )
-        sfm_s = sfm_three_view_seconds(td)
-        hires_s = (
-            hires_texture_obj_seconds(td)
-            if os.environ.get("CVTPU_BENCH_HIRES")
-            else None
-        )
+        if cpu_fallback:
+            mpix_s = corr_s = persp_mpix_s = persp_corr_s = sfm_s = None
+            hires_s = None
+        else:
+            mpix_s, corr_s = correlation_throughput(p1, p2)
+            persp_mpix_s, persp_corr_s = correlation_throughput(
+                p1, p2, projection=ProjectionMode.PERSPECTIVE
+            )
+            sfm_s = sfm_three_view_seconds(td)
+            hires_s = (
+                hires_texture_obj_seconds(td)
+                if os.environ.get("CVTPU_BENCH_HIRES")
+                else None
+            )
 
+    rnd = lambda v, n: None if v is None else round(v, n)  # noqa: E731
     result = {
         "metric": "e2e_1024x1024_sem_pair_to_ply_mesh_seconds",
         "value": round(ply_s, 3),
@@ -245,15 +289,17 @@ def main():
         "vs_baseline": round(2.0 / ply_s, 3),
         "extra": {
             "depth_map_seconds": round(depth_s, 3),
-            "dense_correlation_seconds": round(corr_s, 3),
-            "dense_correlation_mpix_per_s_per_chip": round(mpix_s, 1),
-            "perspective_dense_correlation_seconds": round(persp_corr_s, 3),
-            "perspective_dense_correlation_mpix_per_s_per_chip": round(
+            "dense_correlation_seconds": rnd(corr_s, 3),
+            "dense_correlation_mpix_per_s_per_chip": rnd(mpix_s, 1),
+            "perspective_dense_correlation_seconds": rnd(persp_corr_s, 3),
+            "perspective_dense_correlation_mpix_per_s_per_chip": rnd(
                 persp_mpix_s, 1
             ),
-            "sfm_3view_320x256_to_merged_ply_seconds": round(sfm_s, 3),
+            "sfm_3view_320x256_to_merged_ply_seconds": rnd(sfm_s, 3),
         },
     }
+    if cpu_fallback:
+        result["extra"]["backend"] = "cpu-fallback (TPU tunnel unreachable)"
     if hires_s is not None:
         result["extra"]["hires_4032x3024_texture_obj_seconds"] = round(
             hires_s, 3
