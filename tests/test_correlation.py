@@ -252,6 +252,69 @@ def test_refine_pass_close_to_oracle(rng):
     assert np.median(err) <= 1.0
 
 
+def test_refine_pass_perspective_params_close_to_oracle(rng):
+    """The perspective parameter set (corridor_size=4, threshold 0.5,
+    min_range 0.75 / extend 0.5, correlation/mod.rs:20-30) on a
+    perspective-like F (nonzero upper 2x2 block, so warp_shift_range
+    rejects the static-axis fast path and the per-pixel-axis gather
+    formulation runs) vs the oracle's exact corridor walk. Covers both
+    the XLA scan and the Pallas kernel (interpret mode)."""
+    h, w, dx = 40, 32, 2
+    # An epsilon upper block keeps the true geometry (y2 = y1 shifted by
+    # <= 1e-4*40*32 = 0.13 px) while exercising the perspective paths.
+    f_persp = np.array(
+        [[0, 1e-4, 0], [0, 0, 1], [0, -1, 0]], dtype=np.float64
+    )
+    assert corr.warp_shift_range(f_persp, 1.0, h, w, h, w) is None
+
+    img1f, img2f = _shifted_pair(rng, h, w, dx, blur=2.0)
+    hp, wp = h // 2, w // 2
+    prev_pos = np.zeros((hp, wp, 2), np.int32)
+    for qy in range(hp):
+        for qx in range(wp):
+            prev_pos[qy, qx] = (max(2 * qx - dx, 0), 2 * qy)
+    prev = corr.CorrelationState(
+        pos=jnp.asarray(prev_pos),
+        corr=jnp.ones((hp, wp), jnp.float32),
+        valid=jnp.ones((hp, wp), bool),
+    )
+    args = (
+        jnp.asarray(img1f), jnp.asarray(img2f), prev,
+        jnp.asarray(f_persp, jnp.float32), 1.0, 0.5, 1.0, 0.75, 0.5, 4,
+    )
+
+    o_prev = oc.empty_state(h, w)
+    for qy in range(hp):
+        for qx in range(wp):
+            o_prev["valid"][2 * qy, 2 * qx] = True
+            o_prev["pos_x"][2 * qy, 2 * qx] = prev_pos[qy, qx, 0]
+            o_prev["pos_y"][2 * qy, 2 * qx] = prev_pos[qy, qx, 1]
+    o_fine = oc.correlate_step(
+        img1f, img2f, f_persp, 1.0, o_prev, first_pass=False,
+        threshold=0.5, corridor_size=4, min_range=0.75, extend_range=0.5,
+    )
+    ov = o_fine["valid"]
+
+    for mine in (
+        corr.refine_pass(*args, window=16),
+        corr.refine_pass_pallas(*args, window=16, interpret=True),
+    ):
+        mv = np.asarray(mine.valid)
+        both = mv & ov
+        union = mv | ov
+        assert both.sum() > 300
+        assert both.sum() / union.sum() > 0.85  # mask IoU
+        mx = np.asarray(mine.pos[:, :, 0])
+        my = np.asarray(mine.pos[:, :, 1])
+        agree = (np.abs(mx[both] - o_fine["pos_x"][both]) <= 1) & (
+            np.abs(my[both] - o_fine["pos_y"][both]) <= 1
+        )
+        assert agree.mean() > 0.9
+        ys, xs = np.nonzero(mv)
+        err = np.abs(mx[mv] - (xs - dx))
+        assert np.median(err) <= 1.0
+
+
 def test_cross_check_matches_oracle(rng):
     scale = 0.5
     h, w = 16, 20
