@@ -78,6 +78,22 @@ def test_affine_end_to_end_depth_map(sem_scene, tmp_path):
     assert np.abs(top.astype(float) - bottom.astype(float)).max() > 20
 
 
+def test_affine_end_to_end_odd_sizes(tmp_path):
+    """Non-multiple-of-8/128 dimensions through the full pipeline:
+    exercises the device-resize truncation, the sweep's tile padding, and
+    the writers' valid-crop on shapes nothing else in the suite hits."""
+    rng = np.random.RandomState(11)
+    img1, img2, _ = _sem_pair(rng, h=149, w=131)
+    p1, p2 = str(tmp_path / "o1.png"), str(tmp_path / "o2.png")
+    Image.fromarray(img1).save(p1)
+    Image.fromarray(img2).save(p2)
+    out = str(tmp_path / "odd.png")
+    cfg = _fast_cfg(interpolation=InterpolationMode.NONE)
+    reconstruct([p1, p2], out, cfg, quiet=True)
+    img = np.asarray(Image.open(out))
+    assert (img[:, :, 3] == 255).mean() > 0.3
+
+
 def test_affine_end_to_end_ply(sem_scene, tmp_path):
     p1, p2, disparity = sem_scene
     out = str(tmp_path / "mesh.ply")
