@@ -319,7 +319,7 @@ long ply_write_grid(const char *path, const double *pts, long n,
   // Records are packed into a small L1-resident chunk flushed with one
   // fwrite per ~60 KB (per-record fwrite would pay a few million stdio
   // lock/dispatch rounds).
-  static char chunk[60 * 1024];
+  char chunk[60 * 1024];  // stack-local: reentrant across threads/instances
   char *p = chunk;
   const char *chunk_hi = chunk + sizeof chunk - 32;
   auto flush = [&]() {
@@ -440,7 +440,7 @@ long ply_write_corr_grid(const char *path, const int32_t *word, long h,
                "property list uchar int vertex_indices\nend_header\n",
                faces);
 
-  static char chunk[60 * 1024];
+  char chunk[60 * 1024];  // stack-local: reentrant across threads/instances
   char *p = chunk;
   const char *chunk_hi = chunk + sizeof chunk - 32;
   auto flush = [&]() {

@@ -553,7 +553,13 @@ def warp_shift_range(
                 vals.append(coeff * y + add - x)
             else:
                 vals.append(coeff * x + add - y)
-    dmax = float(max(h2, w2))
+    # t deviates from the corner hull by |coeff|*D where D is the anchor
+    # disparity (center = dom + band-mean disp, _corridor_ranges). disp =
+    # mean - src with mean in img2's frame and src in img1's, so |D| is
+    # bounded by the larger of BOTH images' extents along the dominant
+    # axis — max(h2, w2) alone under-covers when image 1 is larger and
+    # would let t escape the select range (silently sampling the tmin row).
+    dmax = float(max(h, w, h2, w2))
     lo = min(vals) - abs(coeff) * dmax
     hi = max(vals) + abs(coeff) * dmax
     if not (np.isfinite(lo) and np.isfinite(hi)):

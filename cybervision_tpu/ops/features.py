@@ -324,6 +324,14 @@ def brief_descriptors(
     start_y = jnp.clip(pts[:, 1] - extent, 0, max(h - pw, 0))
     start_x = jnp.clip(pts[:, 0] - extent, 0, max(w - pw, 0))
 
+    if h < pw or w < pw:
+        # Images smaller than the patch can't host any valid keypoint
+        # (margin test below rejects them all), but the slice must still
+        # trace — pad with zeros so the slice size fits the operand.
+        blurred = jnp.pad(
+            blurred, ((0, max(pw - h, 0)), (0, max(pw - w, 0)))
+        )
+
     def one_patch(sy, sx):
         return jax.lax.dynamic_slice(blurred, (sy, sx), (pw, pw))
 

@@ -103,8 +103,6 @@ def grid_mesh_polygons(surface: Surface) -> np.ndarray:
         m = only3 & ~present
         tris.append(np.stack([t[m] for t in corners], axis=1))
 
-    if not tris:
-        return np.zeros((0, 3), np.int32)
     return canonical_polygons(np.concatenate(tris).astype(np.int32))
 
 

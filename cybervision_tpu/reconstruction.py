@@ -222,10 +222,7 @@ class Reconstruction:
                 return
             # No correlated pixels (or an RGB/grid shape mismatch): fall
             # through to the generic path for its semantics.
-            correlated = np.empty((*word.shape, 3), np.int64)
-            correlated[:, :, 0] = word & 0xFFF
-            correlated[:, :, 1] = (word >> 12) & 0xFFF
-            correlated[:, :, 2] = (word >> 24) & 1
+            correlated = correlation.unpack_correlated(word)
 
         with PhaseTimer("Completed triangulation post-processing", self.quiet):
             surface = triangulate_affine(correlated)

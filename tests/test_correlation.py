@@ -524,6 +524,32 @@ def test_stripe_warps_fast_matches_gather(rng):
         )
 
 
+def test_warp_shift_range_covers_asymmetric_pair():
+    """The shift/select range must cover t = floor(coeff*center + add) -
+    p_perp for every legitimate anchor (center = x + D with the disparity
+    D bounded by BOTH images' extents: D = mean - src spans
+    [-(w1-1), w2-1]). Regression: the margin used max(h2, w2) only, so a
+    wider image 1 let t escape the select range and silently sample the
+    tmin row."""
+    h1, w1, h2, w2 = 64, 160, 64, 80
+    fmat = corr.normalize_f(np.array(
+        [[0, 0, -0.015], [0, 0, 1.0], [0.002, -1.0, 2.0]], np.float64
+    ))
+    tr = corr.warp_shift_range(fmat, 1.0, h1, w1, h2, w2)
+    assert tr is not None
+    axis, tmin, tmax = tr
+    assert axis == "horiz"
+    a, b = float(fmat[0, 2]), float(fmat[1, 2])
+    coeff = -a / b
+    for x in range(w1):
+        for y in (0, h1 - 1):
+            add = -(fmat[2, 0] * x + fmat[2, 1] * y + fmat[2, 2]) / b
+            for d in (-(w1 - 1), 0, w2 - 1):
+                # t_field (base_y - row) as _stripe_warps_fast builds it
+                t = int(np.floor(coeff * (x + d) + add)) - y
+                assert tmin <= t <= tmax, (x, y, d, t, tmin, tmax)
+
+
 def test_warp_shift_range_rejects_perspective():
     f_persp = np.array(
         [[1e-4, 2e-4, 0.3], [-2e-4, 1.5e-4, 1.0], [-0.25, -1.1, 12.0]]

@@ -115,6 +115,15 @@ def test_extract_keypoints_end_to_end(rng):
     np.testing.assert_array_equal(np.asarray(out2["desc"])[valid], desc)
 
 
+def test_extract_keypoints_image_smaller_than_patch(rng):
+    """Images smaller than the 43x43 BRIEF patch must degrade to zero
+    valid keypoints, not a trace-time dynamic_slice error (regression:
+    the vmapped patch slice required operand dims >= patch width)."""
+    img = rng.randint(0, 256, (32, 40)).astype(np.uint8)
+    out = features.extract_keypoints(jnp.asarray(img), OrbConfig())
+    assert not np.asarray(out["valid"]).any()
+
+
 def test_descriptor_shift_invariance(rng):
     """The same texture at two locations yields identical descriptors."""
     cfg = OrbConfig()
