@@ -87,21 +87,22 @@ def read_metadata(path: str) -> ImageMeta:
                         sem_data = str(raw)
             if sem_data:
                 _parse_sem_metadata(sem_data, meta)
-            exif = img.getexif()
-            focal = exif.get(EXIF_FOCAL_LENGTH_35MM)
-            if focal is None:
-                # Sub-IFD EXIF block (JPEGs store it there).
-                try:
+            # Guard the EXIF step separately: a corrupt EXIF payload must
+            # not discard SEM metadata already parsed above (the databar
+            # crop in particular — losing it would feed overlay text
+            # pixels into the reconstruction).
+            try:
+                exif = img.getexif()
+                focal = exif.get(EXIF_FOCAL_LENGTH_35MM)
+                if focal is None:
+                    # Sub-IFD EXIF block (JPEGs store it there).
                     focal = exif.get_ifd(0x8769).get(EXIF_FOCAL_LENGTH_35MM)
-                except Exception:
-                    focal = None
-            if focal is not None:
-                try:
+                if focal is not None:
                     meta.focal_length_35mm = int(focal)
-                except (TypeError, ValueError):
-                    pass
+            except Exception:
+                pass
     except Exception:
-        return ImageMeta()
+        return meta
     return meta
 
 

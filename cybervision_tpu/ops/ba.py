@@ -17,10 +17,23 @@ the host: TPUs have no native f64, the per-iteration einsums stream well
 on CPU, and the dense-phase track counts make precision the binding
 constraint (the reference is f64 throughout).
 
-Deviation: jacobian terms are masked to actual observations — the
-reference accumulates A'A / W terms for every (track, camera) pair even
-where the track has no projection in that camera (triangulation.rs:
-1914-1931 iterates all views), which adds phantom curvature.
+Deviations:
+  * jacobian terms are masked to actual observations — the reference
+    accumulates A'A / W terms for every (track, camera) pair even where
+    the track has no projection in that camera (triangulation.rs:
+    1914-1931 iterates all views), which adds phantom curvature.
+  * the update is the LM DESCENT step theta -= delta, with delta solving
+    (J'J + mu I) delta = J'r for r = projected - original. The reference
+    applies theta += delta under the same residual/jacobian conventions
+    (triangulation.rs:2017, Camera::update_params 469-470) — an ascent
+    step, so every upstream LM iteration fails the rho > 0 gain test and
+    rolls back; the reference's BA exits via the shrinking-delta epsilon
+    with the INPUT cameras unchanged. Replicating that would make BA a
+    no-op, so this implementation optimizes for real.
+  * on iteration exhaustion the best accepted iterate is returned
+    (callers log and continue); the reference returns a hard
+    "failed to converge" error (triangulation.rs:2139-2143) — moot
+    upstream given the ascent bug above.
 """
 
 from __future__ import annotations

@@ -28,6 +28,25 @@ Deviations (documented):
     search radius for all tracks at once (distance transform); the
     reference scans a Chebyshev box and breaks ties by scan order
     (triangulation.rs:1362-1383).
+  * the quartic solver takes real cube roots (np.cbrt) where the
+    reference's r.powf(1/3) / q.powf(1/3) return NaN for negative bases
+    (triangulation.rs:1620-1626) and silently discard every root of that
+    P3P sample — this implementation keeps the mathematically-real roots
+    (Newton polishing + the RANSAC gates still reject bad poses).
+  * extend_tracks consumes the matched image-1 grid CELL so it can't also
+    spawn a new track; the reference clears its (image-1-indexed)
+    remaining grid at the match's image-2 COORDINATES
+    (triangulation.rs:1392-1394), which both duplicates the matched cell
+    into a fresh track and suppresses an unrelated cell.
+  * merge_tracks computes true coordinate averages; the reference's
+    AverageTrack::add_track/add_average_track accumulate into a
+    freshly-None'd vector each call (triangulation.rs:524, 554-557), so
+    its "averages" degenerate to the last-scanned track's points.
+  * bundle adjustment applies the LM DESCENT step (theta -= delta with
+    gradient J'r, r = projected - original); the reference applies
+    theta += delta for the same conventions (triangulation.rs:2017,
+    469-470) — an ascent step, so every upstream LM iteration is
+    rejected and its BA returns the input cameras unchanged. See ops.ba.
 """
 
 from __future__ import annotations
@@ -112,8 +131,6 @@ def triangulate_tracks_np(
     # one device f32 eigh + f64 host polish (ops.sfm_device — dense-phase
     # track counts make the host eigh a multi-second serial loop); small
     # batches stay on the host where dispatch latency would dominate.
-    from cybervision_tpu.ops import sfm_device
-
     if len(idx) >= sfm_device.DEVICE_DLT_MIN_TRACKS:
         h = sfm_device.dlt_nullspaces(ata[idx])
     else:
@@ -403,7 +420,7 @@ def recover_pose_ransac(
         # Device-batched scoring: sample-consistency gate
         # (triangulation.rs:1110-1117) + reprojection sweep over all
         # linked tracks, chunked on the hypothesis axis (ops.sfm_device).
-        counts, sums, ok = sfm_device.p3p_score(
+        counts, maxerrs, ok = sfm_device.p3p_score(
             proj,
             pts2d[sample_rep],
             pts3d[sample_rep],
@@ -416,11 +433,16 @@ def recover_pose_ransac(
         counts = np.where(ok, counts, 0)
         if not counts.any():
             continue
-        bi = int(np.argmax(counts))
-        count = int(counts[bi])
-        mean_err = float(sums[bi] / max(count, 1))
-        if count > best[1] or (count == best[1] and mean_err < best[2]):
-            best = ((r[bi], tv[bi]), count, mean_err)
+        # Reference ordering (reduce_best_result, triangulation.rs:
+        # 1078-1083): count descending, then error ascending, where the
+        # error statistic is max-inlier-error / count (rs:1128).
+        cmax = int(counts.max())
+        tied = np.nonzero(counts == cmax)[0]
+        errs = maxerrs[tied] / cmax
+        bi = int(tied[np.argmin(errs)])
+        cand_err = float(errs.min())
+        if cmax > best[1] or (cmax == best[1] and cand_err < best[2]):
+            best = ((r[bi], tv[bi]), cmax, cand_err)
         if best[1] >= d_early:
             break
 

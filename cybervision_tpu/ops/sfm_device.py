@@ -52,10 +52,13 @@ def _p3p_score_jit(
 ):
     """proj (B, 3, 4) f32 candidate K[R|t]; s2d/s3d (B, 3, 2|3) the
     sampled observations/points; pts3d (T, 3), pts2d (T, 2), const_err
-    (T,) (+inf on padded tracks). Returns (count, err_sum, sample_ok)
+    (T,) (+inf on padded tracks). Returns (count, err_max, sample_ok)
     per candidate."""
     t = pts3d.shape[0]
     h3 = jnp.concatenate([pts3d, jnp.ones((t, 1), jnp.float32)], axis=1)
+    # Candidate error statistic = MAX inlier error (the reference folds
+    # error.max(match_error), triangulation.rs:1304-1305; the caller
+    # divides by count to mirror error/(count as f64), rs:1128).
 
     def one(args):
         proj_c, s2d_c, s3d_c = args
@@ -74,11 +77,11 @@ def _p3p_score_jit(
         err = jnp.maximum(err, const_err[None])
         good = jnp.isfinite(err) & (err < points_t)
         count = jnp.sum(good, axis=1)
-        err_sum = jnp.sum(jnp.where(good, err, 0.0), axis=1)
-        return count, err_sum, sample_ok
+        err_max = jnp.max(jnp.where(good, err, 0.0), axis=1)
+        return count, err_max, sample_ok
 
     nc = proj.shape[0] // chunk
-    count, err_sum, ok = jax.lax.map(
+    count, err_max, ok = jax.lax.map(
         one,
         (
             proj.reshape(nc, chunk, 3, 4),
@@ -86,7 +89,7 @@ def _p3p_score_jit(
             s3d.reshape(nc, chunk, 3, 3),
         ),
     )
-    return count.reshape(-1), err_sum.reshape(-1), ok.reshape(-1)
+    return count.reshape(-1), err_max.reshape(-1), ok.reshape(-1)
 
 
 def p3p_score(
@@ -104,7 +107,7 @@ def p3p_score(
     const_err = +inf so padding never counts) and the candidate axis to a
     chunk multiple (NaN projections never fit); shards the candidate axis
     over the pipeline mesh when present. Returns numpy
-    (count (B,), err_sum (B,), sample_ok (B,))."""
+    (count (B,), err_max (B,), sample_ok (B,))."""
     from cybervision_tpu.parallel import pipeline_mesh
 
     b = len(proj)
@@ -139,12 +142,12 @@ def p3p_score(
         jnp.float32(points_t),
     )
     if mesh is None:
-        count, err_sum, ok = _p3p_score_jit(*args, chunk=chunk)
+        count, err_max, ok = _p3p_score_jit(*args, chunk=chunk)
     else:
-        count, err_sum, ok = _p3p_score_sharded(mesh, *args, chunk=chunk)
+        count, err_max, ok = _p3p_score_sharded(mesh, *args, chunk=chunk)
     return (
         np.asarray(count)[:b],
-        np.asarray(err_sum)[:b],
+        np.asarray(err_max)[:b],
         np.asarray(ok)[:b],
     )
 

@@ -142,10 +142,14 @@ def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
         verts = _scaled_vertices(surface, out_scale)
         if mesh_mode == MeshMode.VERTEX_COLORS:
             colors = _vertex_colors(surface, images).astype(np.float64) / 255.0
-            rows = np.concatenate([verts, colors], axis=1)
-            fh.writelines(
-                f"v {r[0]} {r[1]} {r[2]} {r[3]} {r[4]} {r[5]}\n" for r in rows
-            )
+            if native_fmt is not None:
+                fh.write(native_fmt(verts, colors))
+            else:
+                rows = np.concatenate([verts, colors], axis=1)
+                fh.writelines(
+                    f"v {r[0]} {r[1]} {r[2]} {r[3]} {r[4]} {r[5]}\n"
+                    for r in rows
+                )
         else:
             if native_fmt is not None:
                 fh.write(native_fmt(verts))
@@ -159,13 +163,19 @@ def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
             vis = surface.tracks[:, :, 0] != MISSING  # (N, n_images)
             counts = vis.sum(axis=1)
             uv_index = np.concatenate([[0], np.cumsum(counts)])
-            for t in range(surface.n_points):
-                for i in range(surface.n_images):
-                    if vis[t, i]:
-                        img = images[i]
-                        u = surface.tracks[t, i, 0] / img.shape[1]
-                        v = 1.0 - surface.tracks[t, i, 1] / img.shape[0]
-                        fh.write(f"vt {u} {v}\n")
+            # One pass over VISIBLE projections only (np.nonzero's
+            # row-major order matches the reference's track-then-image
+            # nested loop) instead of an O(N * n_images) Python loop.
+            t_idx, i_idx = np.nonzero(vis)
+            wh = np.array(
+                [[img.shape[1], img.shape[0]] for img in images],
+                np.float64,
+            ).reshape(-1, 2)
+            u = surface.tracks[t_idx, i_idx, 0] / wh[i_idx, 0]
+            v = 1.0 - surface.tracks[t_idx, i_idx, 1] / wh[i_idx, 1]
+            fh.writelines(
+                f"vt {a} {b}\n" for a, b in zip(u.tolist(), v.tolist())
+            )
 
         current_cam = None
         vis = surface.tracks[:, :, 0] != MISSING
@@ -227,18 +237,23 @@ def write_depth_image(
     ok = (proj[:, 0] > rx0) & (proj[:, 0] < rx1) & (proj[:, 1] > ry0) & (proj[:, 1] < ry1)
     if not ok.any():
         raise OutputError("No point projections found")
-    min_x = np.floor(proj[ok, 0].min())
-    max_x = np.ceil(proj[ok, 0].max())
-    min_y = np.floor(proj[ok, 1].min())
-    max_y = np.ceil(proj[ok, 1].max())
-    width = int(max_x - min_x) + 1
-    height = int(max_y - min_y) + 1
+    # Offsets subtract the RAW minimum while the canvas spans
+    # floor(min)..ceil(max) (output.rs:1048-1060) — flooring the offset
+    # origin too would shift every splat/fill cell by frac(min).
+    min_x = proj[ok, 0].min()
+    max_x = proj[ok, 0].max()
+    min_y = proj[ok, 1].min()
+    max_y = proj[ok, 1].max()
+    width = int(np.ceil(max_x) - np.floor(min_x)) + 1
+    height = int(np.ceil(max_y) - np.floor(min_y)) + 1
 
     out = np.full((height, width), -np.inf)
     px = proj[:, 0] - min_x
     py = proj[:, 1] - min_y
-    ix = np.clip(np.round(px[ok]).astype(np.int64), 0, width - 1)
-    iy = np.clip(np.round(py[ok]).astype(np.int64), 0, height - 1)
+    # f64::round = half away from zero (offsets are >= 0 here), not
+    # numpy's banker's rounding.
+    ix = np.clip(np.floor(px[ok] + 0.5).astype(np.int64), 0, width - 1)
+    iy = np.clip(np.floor(py[ok] + 0.5).astype(np.int64), 0, height - 1)
     # The reference keeps the larger depth on splat collisions
     # (output.rs:1061-1069).
     np.maximum.at(out, (iy, ix), depth[ok])

@@ -224,6 +224,28 @@ def test_depth_image_writer(tmp_path):
     assert (cols == cols[0]).all()
 
 
+def test_depth_image_fractional_min_offsets(tmp_path):
+    """Splat cells use offset = proj - RAW min with half-away-from-zero
+    rounding (output.rs:1048-1060). Regression: flooring the min (and
+    numpy banker's rounding) shifted both points here one column right:
+    offsets 0.0/0.9 -> cols 0/1, not floored 0.6/1.5 -> cols 1/2."""
+    grid = np.zeros((4, 4, 3), np.int64)
+    grid[1, 1] = (2, 1, 1)
+    grid[2, 2] = (3, 2, 1)
+    s = triangulate_affine(grid)
+    assert s.n_points == 2
+    order = np.argsort(s.points3d[:, 0])
+    s.points3d[order[0], :2] = (10.6, 5.0)
+    s.points3d[order[1], :2] = (11.5, 5.0)
+    mesh = meshing.build_mesh(s, [(20, 20)], InterpolationMode.NONE)
+    path = str(tmp_path / "frac.png")
+    writers.write_depth_image(path, mesh, [(20, 20)], 0, -1.0)
+    img = np.asarray(Image.open(path))
+    filled = img[:, :, 3] == 255
+    assert img.shape[1] == 3  # ceil(11.5) - floor(10.6) + 1
+    assert list(np.nonzero(filled[0])[0]) == [0, 1]
+
+
 def test_map_depth_endpoints():
     c0 = map_depth(np.array(0.0))
     c1 = map_depth(np.array(1.0))

@@ -51,7 +51,7 @@ def test_p3p_score_matches_numpy_oracle(rng):
     s3d = pts3d[sample]
     inlier_t, points_t = 50.0, 25.0
 
-    count, err_sum, ok = sfm_device.p3p_score(
+    count, err_max, ok = sfm_device.p3p_score(
         projs, s2d, s3d, pts3d, pts2d, const_err, inlier_t, points_t
     )
 
@@ -70,8 +70,9 @@ def test_p3p_score_matches_numpy_oracle(rng):
         assert bool(ok[i]) == ok_ref, i
         assert int(count[i]) == int(good.sum()), i
         if good.any():
+            # max-inlier-error statistic (triangulation.rs:1304-1305)
             np.testing.assert_allclose(
-                err_sum[i], err[good].sum(), rtol=1e-4
+                err_max[i], err[good].max(), rtol=1e-4
             )
 
     assert int(count[0]) > 0 and bool(ok[0])
