@@ -79,9 +79,11 @@ def parse_args(argv: list[str]):
             if name == "--scale":
                 kw["scale"] = _parse_num(name, value, float)
             elif name == "--focal-length":
-                kw["focal_length"] = _parse_num(name, value, int)
+                # The reference parses u32 — negatives are a parse
+                # failure and exit 2 (main.rs Args::parse).
+                kw["focal_length"] = _parse_num(name, value, _uint)
             elif name == "--max-points":
-                kw["max_points"] = _parse_num(name, value, int)
+                kw["max_points"] = _parse_num(name, value, _uint)
             elif name in _ENUMS:
                 try:
                     enum_val = _ENUMS[name][value]
@@ -127,6 +129,14 @@ def parse_args(argv: list[str]):
     return ReconstructionConfig(**kw), filenames, img_out
 
 
+def _uint(value: str) -> int:
+    """Unsigned int, like the reference's u32/usize parses."""
+    n = int(value)
+    if n < 0:
+        raise ValueError("invalid digit found in string")
+    return n
+
+
 def _parse_num(name, value, cast):
     try:
         return cast(value)
@@ -167,7 +177,12 @@ def _reexec_for_cpu_backend() -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
-    print(f"Cybervision-TPU version {__version__}")
+    import os
+
+    # Suppress the banner in the --mode=cpu re-exec child: the parent
+    # already printed it (the reference prints one banner, main.rs:193).
+    if os.environ.get("CVTPU_CPU_REEXEC") != "1":
+        print(f"Cybervision-TPU version {__version__}")
     cfg, img_src, img_out = parse_args(
         argv if argv is not None else sys.argv[1:]
     )

@@ -77,14 +77,12 @@ static void rasterize(const Vertex *pts_in, long max_x, long max_y,
     if (x_hi > max_x) x_hi = max_x;
 
     double span = end_x - start_x;
+    // Zero-width scanline (triangle apex): the reference's x_c = 0/0 is
+    // NaN and fails the [0,1] test, so no pixel is emitted
+    // (output.rs:225-231).
+    if (span == 0.0) continue;
     for (long x = x_lo; x < x_hi; x++) {
-      double x_c;
-      if (span == 0.0) {
-        if ((double)x != start_x) continue;
-        x_c = 0.0;
-      } else {
-        x_c = ((double)x - start_x) / span;
-      }
+      double x_c = ((double)x - start_x) / span;
       if (x_c < 0.0 || x_c > 1.0) continue;
       double val = start_v * (1.0 - x_c) + x_c * end_v;
       if (!emit(x, y, val)) return;

@@ -247,33 +247,70 @@ def first_pass(
     coeff_c = pack(coeff)[..., 0]
     add_c = pack(add)[..., 0]
 
+    # Tile the CANDIDATE axis so the (chunk_rows, P2) correlation matrix
+    # stays bounded: extreme aspect ratios (e.g. 64 x 4096, where the
+    # pyramid cannot coarsen below scale_min_size) would otherwise
+    # materialize a tens-of-GB intermediate. Square coarsest levels
+    # (P2 <= the tile) keep a single tile — identical program to before.
+    p2 = a2.shape[0]
+    rows_per_chunk = row_chunk * w1
+    cand_chunk = max(4096, (1 << 25) // max(rows_per_chunk, 1))
+    cand_chunk = min(cand_chunk, p2)
+    cand_pad = (-p2) % cand_chunk
+    n_tiles = (p2 + cand_pad) // cand_chunk
+    a2_t = jnp.pad(a2, ((0, cand_pad), (0, 0))).reshape(
+        n_tiles, cand_chunk, KPC
+    )
+    q_y_t = jnp.pad(q_y, (0, cand_pad)).reshape(n_tiles, cand_chunk)
+    q_x_t = jnp.pad(q_x, (0, cand_pad)).reshape(n_tiles, cand_chunk)
+    q_ok_t = jnp.pad(q_ok, (0, cand_pad)).reshape(n_tiles, cand_chunk)
+
     def one_chunk(args):
         a1_b, pv_b, vert_b, coeff_b, add_b = args
-        corr = jax.lax.dot_general(
-            a1_b,
-            a2.T,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (chunk, P2)
 
-        # Corridor membership: for vert, i = y2 and the walked x is
-        # floor(coeff*i + add) + o for o in [-cs, cs]; q belongs iff
-        # x2 - floor(coeff*y2 + add) in [-cs, cs] and y2 in [KS, h2-KS).
-        i_coord = jnp.where(vert_b[:, None], q_y[None, :], q_x[None, :])
-        off_coord = jnp.where(vert_b[:, None], q_x[None, :], q_y[None, :])
-        line = jnp.floor(coeff_b[:, None] * i_coord + add_b[:, None])
-        on_band = jnp.abs(off_coord - line) <= cs
-        end = jnp.where(vert_b, float(h2 - KS), float(w2 - KS))
-        in_range = (i_coord >= float(KS)) & (i_coord < end[:, None])
+        def cand_tile(carry, tile):
+            bv, bxc, byc = carry
+            a2_b, qy_b, qx_b, qok_b = tile
+            corr = jax.lax.dot_general(
+                a1_b,
+                a2_b.T,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (chunk, cand_chunk)
 
-        ok = on_band & in_range & q_ok[None, :] & pv_b[:, None]
-        ok &= corr >= threshold
-        corr = jnp.where(ok, corr, -jnp.inf)
-        best = jnp.argmax(corr, axis=1)
-        best_corr = jnp.take_along_axis(corr, best[:, None], axis=1)[:, 0]
-        bx = q_x.astype(jnp.int32)[best]
-        by = q_y.astype(jnp.int32)[best]
-        return best_corr, bx, by
+            # Corridor membership: for vert, i = y2 and the walked x is
+            # floor(coeff*i + add) + o for o in [-cs, cs]; q belongs iff
+            # x2 - floor(coeff*y2 + add) in [-cs, cs], y2 in [KS, h2-KS).
+            i_coord = jnp.where(vert_b[:, None], qy_b[None, :], qx_b[None, :])
+            off_coord = jnp.where(vert_b[:, None], qx_b[None, :], qy_b[None, :])
+            line = jnp.floor(coeff_b[:, None] * i_coord + add_b[:, None])
+            on_band = jnp.abs(off_coord - line) <= cs
+            end = jnp.where(vert_b, float(h2 - KS), float(w2 - KS))
+            in_range = (i_coord >= float(KS)) & (i_coord < end[:, None])
+
+            ok = on_band & in_range & qok_b[None, :] & pv_b[:, None]
+            ok &= corr >= threshold
+            corr = jnp.where(ok, corr, -jnp.inf)
+            best = jnp.argmax(corr, axis=1)
+            val = jnp.take_along_axis(corr, best[:, None], axis=1)[:, 0]
+            # Strictly-greater keeps the FIRST global maximum across
+            # tiles, matching a flat argmax over the whole candidate set.
+            better = val > bv
+            bv = jnp.where(better, val, bv)
+            bxc = jnp.where(better, qx_b.astype(jnp.int32)[best], bxc)
+            byc = jnp.where(better, qy_b.astype(jnp.int32)[best], byc)
+            return (bv, bxc, byc), None
+
+        n_rows = a1_b.shape[0]
+        init = (
+            jnp.full((n_rows,), -jnp.inf, jnp.float32),
+            jnp.zeros((n_rows,), jnp.int32),
+            jnp.zeros((n_rows,), jnp.int32),
+        )
+        (bv, bxc, byc), _ = jax.lax.scan(
+            cand_tile, init, (a2_t, q_y_t, q_x_t, q_ok_t)
+        )
+        return bv, bxc, byc
 
     best_corr, bx, by = jax.lax.map(
         one_chunk, (a1_c, pv_c, vert_c, coeff_c, add_c)
@@ -322,6 +359,14 @@ def _neighbor_stats(prev: CorrelationState, h: int, w: int, scale: float):
     carries a parity-dependent -0.5/-1 bias that mean_x - mean_src_x
     cancels).
     """
+    # All coordinate accumulation is QUERY-RELATIVE: a contributing cell
+    # q at window offset d = j - 5 sits at src = 2*q0 + 2*d with
+    # q0 = ceil(p/2), so px - 2*q0 = (px - src_x) + 2*d — a small local
+    # disparity plus a known per-offset constant. Accumulating absolute
+    # coordinates instead makes the E[x^2] - E[x]^2 variance catastrophic
+    # in f32 at multi-kilopixel image sizes (the reference computes this
+    # in f64 with centered deltas, mod.rs:505-533); the relative form
+    # keeps every accumulator O(disparity + 10) and f32-exact.
     px = prev.pos[:, :, 0].astype(jnp.float32) * scale
     py = prev.pos[:, :, 1].astype(jnp.float32) * scale
     hp, wp = prev.valid.shape
@@ -332,6 +377,8 @@ def _neighbor_stats(prev: CorrelationState, h: int, w: int, scale: float):
         2.0 * jnp.arange(hp, dtype=jnp.float32)[:, None], (hp, wp)
     )
     v = prev.valid.astype(jnp.float32)
+    ux = (px - src_x) * v  # local disparity of each contributing cell
+    uy = (py - src_y) * v
 
     def up_axis1(arr, j):
         out, ok = _upsample2_shift(arr, j, w)
@@ -343,50 +390,74 @@ def _neighbor_stats(prev: CorrelationState, h: int, w: int, scale: float):
         )
         return jnp.swapaxes(out * ok, 0, 1)
 
-    cnt = jnp.zeros((h, w), jnp.float32)
-    sx = jnp.zeros((h, w), jnp.float32)
-    sy = jnp.zeros((h, w), jnp.float32)
-    sxx = jnp.zeros((h, w), jnp.float32)
-    syy = jnp.zeros((h, w), jnp.float32)
-    ssx = jnp.zeros((h, w), jnp.float32)
-    ssy = jnp.zeros((h, w), jnp.float32)
-
     # Separable accumulation: first expand columns for all jx into row
-    # accumulators, then expand rows for all jy.
-    row_cnt = jnp.zeros((prev.valid.shape[0], w), jnp.float32)
-    row_sx = jnp.zeros_like(row_cnt)
-    row_sy = jnp.zeros_like(row_cnt)
-    row_sxx = jnp.zeros_like(row_cnt)
-    row_syy = jnp.zeros_like(row_cnt)
-    row_ssx = jnp.zeros_like(row_cnt)
-    row_ssy = jnp.zeros_like(row_cnt)
+    # accumulators (x offsets weighted in here), then expand rows for all
+    # jy (y offsets weighted in there).
+    row_cnt = jnp.zeros((hp, w), jnp.float32)
+    row_wx = jnp.zeros_like(row_cnt)   # sum of (ux + 2*dx)
+    row_wx2 = jnp.zeros_like(row_cnt)  # sum of (ux + 2*dx)^2
+    row_uy = jnp.zeros_like(row_cnt)
+    row_uy2 = jnp.zeros_like(row_cnt)
+    row_dxn = jnp.zeros_like(row_cnt)  # sum of dx (for mean_src_x)
     for jx in range(10):
+        dx = float(jx - 5)
         vv = up_axis1(v, jx)
+        uxv = up_axis1(ux, jx)
         row_cnt += vv
-        row_sx += up_axis1(px * v, jx)
-        row_sy += up_axis1(py * v, jx)
-        row_sxx += up_axis1(px * px * v, jx)
-        row_syy += up_axis1(py * py * v, jx)
-        row_ssx += up_axis1(src_x * v, jx)
-        row_ssy += up_axis1(src_y * v, jx)
-    for jy in range(10):
-        cnt += up_axis0(row_cnt, jy)
-        sx += up_axis0(row_sx, jy)
-        sy += up_axis0(row_sy, jy)
-        sxx += up_axis0(row_sxx, jy)
-        syy += up_axis0(row_syy, jy)
-        ssx += up_axis0(row_ssx, jy)
-        ssy += up_axis0(row_ssy, jy)
+        row_wx += uxv + (2.0 * dx) * vv
+        row_wx2 += (
+            up_axis1(ux * ux, jx) + (4.0 * dx) * uxv + (4.0 * dx * dx) * vv
+        )
+        row_uy += up_axis1(uy, jx)
+        row_uy2 += up_axis1(uy * uy, jx)
+        row_dxn += dx * vv
 
+    cnt = jnp.zeros((h, w), jnp.float32)
+    wx = jnp.zeros_like(cnt)
+    wx2 = jnp.zeros_like(cnt)
+    wy = jnp.zeros_like(cnt)
+    wy2 = jnp.zeros_like(cnt)
+    dxn = jnp.zeros_like(cnt)
+    dyn = jnp.zeros_like(cnt)
+    for jy in range(10):
+        dy = float(jy - 5)
+        rc = up_axis0(row_cnt, jy)
+        ruy = up_axis0(row_uy, jy)
+        cnt += rc
+        wx += up_axis0(row_wx, jy)
+        wx2 += up_axis0(row_wx2, jy)
+        wy += ruy + (2.0 * dy) * rc
+        wy2 += (
+            up_axis0(row_uy2, jy) + (4.0 * dy) * ruy + (4.0 * dy * dy) * rc
+        )
+        dxn += up_axis0(row_dxn, jy)
+        dyn += dy * rc
+
+    # Query base coordinate 2*q0 = 2*ceil(p/2), exact in f32.
+    bx = (2.0 * ((jnp.arange(w) + 1) // 2)).astype(jnp.float32)[None, :]
+    by = (2.0 * ((jnp.arange(h) + 1) // 2)).astype(jnp.float32)[:, None]
     n = jnp.maximum(cnt, 1.0)
-    mean_x = sx / n
-    mean_y = sy / n
-    var_x = jnp.maximum(sxx / n - mean_x * mean_x, 0.0)
-    var_y = jnp.maximum(syy / n - mean_y * mean_y, 0.0)
-    return cnt, mean_x, mean_y, var_x, var_y, ssx / n, ssy / n
+    mx_rel = wx / n
+    my_rel = wy / n
+    mean_x = bx + mx_rel
+    mean_y = by + my_rel
+    var_x = jnp.maximum(wx2 / n - mx_rel * mx_rel, 0.0)
+    var_y = jnp.maximum(wy2 / n - my_rel * my_rel, 0.0)
+    mean_src_x = bx + 2.0 * dxn / n
+    mean_src_y = by + 2.0 * dyn / n
+    return cnt, mean_x, mean_y, var_x, var_y, mean_src_x, mean_src_y
 
 
 _ANCHOR_BAND = 128
+
+
+def _band_size(n: int) -> int:
+    """Anchor-band width along an axis of length n. Shared by _band_means
+    and _stripe_warps_fast — they MUST agree (the fast warp's per-band
+    dynamic slices assume `center - dom` is constant within each band
+    exactly as _band_means laid it out). Axes shorter than two bands
+    collapse to a single global band."""
+    return _ANCHOR_BAND if n >= 2 * _ANCHOR_BAND else max(n, 1)
 
 
 def _band_means(disp: jnp.ndarray, weight: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -396,10 +467,8 @@ def _band_means(disp: jnp.ndarray, weight: jnp.ndarray, axis: int) -> jnp.ndarra
     single global mean (no band edges to cut NCC patches)."""
     h, w = disp.shape
     n = disp.shape[axis]
-    b = _ANCHOR_BAND
+    b = _band_size(n)
     nb = (n + b - 1) // b
-    if n < 2 * b:
-        nb, b = 1, n
     pad = nb * b - n
     if axis == 0:
         dw = jnp.pad(disp * weight, ((0, pad), (0, 0))).reshape(nb, b, w)
@@ -605,6 +674,18 @@ def split_trange(
     return (axis, kb, tp), tmin
 
 
+def _kernel_row_len(
+    wtr: tuple[str, int, int] | None, h1: int, w1: int, h2: int, w2: int
+) -> int:
+    """Row length the Pallas sweep kernel actually sees for one sweep
+    direction with source dims (h1, w1) and target dims (h2, w2):
+    horizontal corridors transpose the whole problem onto the sublane
+    axis (refine_pass_pallas), so their rows are image HEIGHTS."""
+    if wtr is not None and wtr[0] == "horiz":
+        return max(h1, h2)
+    return max(w1, w2)
+
+
 def _stripe_warps_fast(
     img2f: jnp.ndarray,
     center: jnp.ndarray,
@@ -637,7 +718,7 @@ def _stripe_warps_fast(
     xp = max(w1, w2)
     imgp = jnp.pad(img2f, ((pr, pr), (xp, xp)))
 
-    b = _ANCHOR_BAND if h1 >= 2 * _ANCHOR_BAND else max(h1, 1)
+    b = _band_size(h1)
     nb = (h1 + b - 1) // b
 
     tmin = jnp.int32(tmin)
@@ -830,23 +911,31 @@ def refine_pass(
     )
     us = jnp.arange(-window, window + 1, dtype=jnp.int32)
 
+    vert_f32 = vert.astype(jnp.float32) if warp_trange is None else None
+
     for oi in range(n_o):
-        stacked = jnp.stack(
-            [
-                w0s[oi],
-                avgqs[oi],
-                sdqs[oi],
-                qxs[oi].astype(jnp.float32),
-                qys[oi].astype(jnp.float32),
-                inbs[oi].astype(jnp.float32),
-                center_f32,
-            ]
-        )
+        planes = [
+            w0s[oi],
+            avgqs[oi],
+            sdqs[oi],
+            qxs[oi].astype(jnp.float32),
+            qys[oi].astype(jnp.float32),
+            inbs[oi].astype(jnp.float32),
+            center_f32,
+        ]
+        if vert_f32 is not None:
+            # Per-pixel-axis sweeps also carry the dominant-axis field so
+            # hypotheses sourced from pixels whose axis differs from p's
+            # (near the |f02| == |f12| locus of a perspective F) can be
+            # rejected — their candidate lies on the WRONG epipolar line.
+            planes.append(vert_f32)
+        n_pl = len(planes)
+        stacked = jnp.stack(planes)
         pstack = jnp.pad(
             stacked, ((0, 0), (pad_w, pad_w), (pad_w, pad_w))
         )
 
-        def step(carry, u, pstack=pstack):
+        def step(carry, u, pstack=pstack, n_pl=n_pl):
             best_corr, best_x, best_y = carry
             # out(p) = x(p + u e_axis): slice at row offset pad+u or col
             # offset pad+u, selected per pixel by the dominant axis —
@@ -857,18 +946,18 @@ def refine_pass(
             if warp_trange is not None:
                 if warp_trange[0] == "vert":
                     sl = jax.lax.dynamic_slice(
-                        pstack, (zero, pw + u, pw), (7, h1, w1)
+                        pstack, (zero, pw + u, pw), (n_pl, h1, w1)
                     )
                 else:
                     sl = jax.lax.dynamic_slice(
-                        pstack, (zero, pw, pw + u), (7, h1, w1)
+                        pstack, (zero, pw, pw + u), (n_pl, h1, w1)
                     )
             else:
                 sl_y = jax.lax.dynamic_slice(
-                    pstack, (zero, pw + u, pw), (7, h1, w1)
+                    pstack, (zero, pw + u, pw), (n_pl, h1, w1)
                 )
                 sl_x = jax.lax.dynamic_slice(
-                    pstack, (zero, pw, pw + u), (7, h1, w1)
+                    pstack, (zero, pw, pw + u), (n_pl, h1, w1)
                 )
                 sl = jnp.where(vert[None], sl_y, sl_x)
             wr, avg_w, sd_w, qxf, qyf, inbr, idx_eval = (
@@ -880,17 +969,24 @@ def refine_pass(
                 sd_w, 1e-12
             )
 
+            # Source-shift validity is [KS, dim-KS), not [0, dim): the
+            # warp's box statistics at shifted index p+u are exact only
+            # where the 11x11 box stays inside the warp plane — outside
+            # that band they would mix zero padding / wrapped rows
+            # (documented deviation: the reference evaluates these
+            # border-band candidates with exact img2-side stats; this
+            # implementation drops them instead of mis-scoring them).
             if warp_trange is not None:
                 src_ok = (
-                    (ys_idx + u >= 0) & (ys_idx + u < h1)
+                    (ys_idx + u >= KS) & (ys_idx + u < h1 - KS)
                     if warp_trange[0] == "vert"
-                    else (xs_idx + u >= 0) & (xs_idx + u < w1)
+                    else (xs_idx + u >= KS) & (xs_idx + u < w1 - KS)
                 )
             else:
                 src_ok = jnp.where(
                     vert,
-                    (ys_idx + u >= 0) & (ys_idx + u < h1),
-                    (xs_idx + u >= 0) & (xs_idx + u < w1),
+                    (ys_idx + u >= KS) & (ys_idx + u < h1 - KS),
+                    (xs_idx + u >= KS) & (xs_idx + u < w1 - KS),
                 )
             ok = (
                 src_ok
@@ -901,6 +997,10 @@ def refine_pass(
                 & (sd_w >= min_stdev)
                 & (corr >= threshold)
             )
+            if warp_trange is None:
+                # Reject hypotheses sourced from pixels whose dominant
+                # axis differs from p's (see the planes comment above).
+                ok &= jnp.abs(sl[7] - vert_f32) < 0.5
             corr = jnp.where(ok, corr, -jnp.inf)
             upd = corr > best_corr
             return (
@@ -1049,7 +1149,9 @@ def refine_pass_pallas(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "h2", "w2"))
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "h2", "w2", "fv_f", "fv_r")
+)
 def max_corridor_halfwidth_pair(
     prev_f: CorrelationState,
     prev_r: CorrelationState,
@@ -1063,19 +1165,25 @@ def max_corridor_halfwidth_pair(
     w: int,
     h2: int,
     w2: int,
+    fv_f: bool | None = None,
+    fv_r: bool | None = None,
 ):
     """Both directions' window buckets in one dispatch (scalar fetches on
     the TPU tunnel cost ~30 ms each)."""
     a = max_corridor_halfwidth(
-        prev_f, f_fwd, scale, min_range, extend_range, h=h, w=w, h2=h2, w2=w2
+        prev_f, f_fwd, scale, min_range, extend_range, h=h, w=w, h2=h2,
+        w2=w2, force_vert=fv_f,
     )
     b = max_corridor_halfwidth(
-        prev_r, f_rev, scale, min_range, extend_range, h=h2, w=w2, h2=h, w2=w
+        prev_r, f_rev, scale, min_range, extend_range, h=h2, w=w2, h2=h,
+        w2=w, force_vert=fv_r,
     )
     return jnp.stack([a, b])
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "h2", "w2"))
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "h2", "w2", "force_vert")
+)
 def max_corridor_halfwidth(
     prev: CorrelationState,
     f: jnp.ndarray,
@@ -1087,10 +1195,16 @@ def max_corridor_halfwidth(
     w: int,
     h2: int,
     w2: int,
+    force_vert: bool | None = None,
 ):
     """Maximum center-relative reach of any pixel's corridor — picks the
-    static sweep window bucket."""
-    ep = epipolar_fields(f, h, w, scale)
+    static sweep window bucket.
+
+    force_vert MUST match the axis the sweep will be forced onto
+    (warp_trange): measuring reach on a different per-pixel axis field
+    than the sweep uses could under-size the bucket near the
+    |f02| == |f12| locus and silently truncate corridors."""
+    ep = epipolar_fields(f, h, w, scale, force_vert=force_vert)
     center, start, end, has = _corridor_ranges(
         ep, prev, h, w, h2, w2, scale, min_range, extend_range
     )
@@ -1413,7 +1527,11 @@ def correlate_images(
     # The Pallas sweep kernel runs on real TPUs; the XLA scan formulation
     # covers CPU (and doubles as the kernel's reference implementation).
     # CVTPU_NO_PALLAS=1 forces the scan path on TPU (debug/fallback).
-    use_pallas = jax.default_backend() == "tpu" and not os.environ.get(
+    # active_platform (not jax.default_backend) so --mode=cpu's
+    # jax.default_device(cpu) context on a TPU host takes the scan path.
+    from cybervision_tpu.parallel import active_platform
+
+    use_pallas = active_platform() == "tpu" and not os.environ.get(
         "CVTPU_NO_PALLAS"
     )
 
@@ -1447,17 +1565,21 @@ def correlate_images(
         for si, scale in enumerate(scales):
             lh1, lw1 = _resized_shape(src1.img.shape, scale)
             lh2, lw2 = _resized_shape(src2.img.shape, scale)
-            wmax = max(lw1, lw2)
-            lvl_pallas = (
-                use_pallas
-                and si > 0
-                and pick_tile_h(wmax, win, cs) is not None
-            )
             wtr_f, tmin_f = split_trange(
                 warp_shift_range(f, scale, lh1, lw1, lh2, lw2)
             )
             wtr_r, tmin_r = split_trange(
                 warp_shift_range(f.T, scale, lh2, lw2, lh1, lw1)
+            )
+            lvl_pallas = (
+                use_pallas
+                and si > 0
+                and pick_tile_h(
+                    _kernel_row_len(wtr_f, lh1, lw1, lh2, lw2), win, cs
+                ) is not None
+                and pick_tile_h(
+                    _kernel_row_len(wtr_r, lh2, lw2, lh1, lw1), win, cs
+                ) is not None
             )
             levels.append((scale, lvl_pallas, win, win, wtr_f, wtr_r))
             tmins.append((tmin_f, tmin_r))
@@ -1477,27 +1599,6 @@ def correlate_images(
     for si, scale in enumerate(scales):
         im1 = _device_resize(full1, scale)
         im2 = _device_resize(full2, scale)
-        win_f = win_r = cfg.corridor_window_fixed or 16
-        if si > 0 and cfg.corridor_window_fixed is None:
-            h1, w1 = im1.shape
-            h2, w2 = im2.shape
-            halves = np.asarray(
-                max_corridor_halfwidth_pair(
-                    state_f, state_r, f_fwd, f_rev, scale, min_range,
-                    extend_range, h=h1, w=w1, h2=h2, w2=w2,
-                )
-            )
-            win_f = _bucket(int(halves[0]), cfg)
-            win_r = _bucket(int(halves[1]), cfg)
-        if si == 0:
-            state_f = state_r = empty_state(2, 2)  # placeholders (unused)
-        level_pallas = use_pallas
-        if level_pallas:
-            from cybervision_tpu.ops.pallas_ncc import pick_tile_h
-
-            wmax = max(im1.shape[1], im2.shape[1])
-            if pick_tile_h(wmax, max(win_f, win_r), cs) is None:
-                level_pallas = False  # working set over VMEM: scan path
         lh1, lw1 = im1.shape
         lh2, lw2 = im2.shape
         # Gather-free warps assume unsharded arrays (the per-band
@@ -1511,6 +1612,37 @@ def correlate_images(
             None if mesh is not None
             else warp_shift_range(f.T, scale, lh2, lw2, lh1, lw1)
         )
+        win_f = win_r = cfg.corridor_window_fixed or 16
+        if si > 0 and cfg.corridor_window_fixed is None:
+            halves = np.asarray(
+                max_corridor_halfwidth_pair(
+                    state_f, state_r, f_fwd, f_rev, scale, min_range,
+                    extend_range, h=lh1, w=lw1, h2=lh2, w2=lw2,
+                    fv_f=None if wtr_f is None else wtr_f[0] == "vert",
+                    fv_r=None if wtr_r is None else wtr_r[0] == "vert",
+                )
+            )
+            win_f = _bucket(int(halves[0]), cfg)
+            win_r = _bucket(int(halves[1]), cfg)
+        if si == 0:
+            state_f = state_r = empty_state(2, 2)  # placeholders (unused)
+        level_pallas = use_pallas
+        if level_pallas:
+            from cybervision_tpu.ops.pallas_ncc import pick_tile_h
+
+            # VMEM gate on the KERNEL's row length: horizontal corridors
+            # transpose the problem (refine_pass_pallas), so their row
+            # length is the image HEIGHT, not the width.
+            fits = (
+                pick_tile_h(
+                    _kernel_row_len(wtr_f, lh1, lw1, lh2, lw2), win_f, cs
+                ) is not None
+                and pick_tile_h(
+                    _kernel_row_len(wtr_r, lh2, lw2, lh1, lw1), win_r, cs
+                ) is not None
+            )
+            if not fits:
+                level_pallas = False  # working set over VMEM: scan path
         state_f, state_r = pyramid_level_step(
             im1, im2, state_f, state_r, f_fwd, f_rev, scale, threshold,
             min_stdev, min_range, extend_range, cs, win_f, win_r,

@@ -433,7 +433,7 @@ def ransac_batch(
     # matches disqualifies the pair. Like the reference, conflicting
     # points are REDRAWN (slot-wise, against earlier slots) — one-shot
     # tuple rejection passes ~1e-4 of 7-point samples on small images.
-    keys = jax.random.split(key, 33)
+    keys = jax.random.split(key, 2)
     idx = jax.random.randint(keys[0], (batch, n_samples), 0, top_limit)
     tril = jnp.tril(jnp.ones((n_samples, n_samples), bool), k=-1)
 
@@ -643,6 +643,14 @@ def _lm_refine_f(f0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
     (fundamentalmatrix.rs:391-426,515-621). Runs in f64 on the CPU backend
     (TPUs have no native f64); jacobian via jax.jacfwd instead of the
     reference's hand-derived symbolic formula.
+
+    Documented deviation: the step is the LM DESCENT params - delta for
+    delta = (J'J + mu I)^-1 J'r. The reference applies params + delta
+    (fundamentalmatrix.rs:583) — an ascent step, so every upstream LM
+    iteration fails the rho > 0 gain test and its refinement returns the
+    input F essentially unchanged; this implementation minimizes for
+    real. Non-convergence within max_iters returns None (the reference's
+    Err contract) so callers fall back to the unrefined hypothesis.
     """
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -659,11 +667,19 @@ def _lm_refine_f(f0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
         jac_fn = jax.jit(jax.jacfwd(residuals))
         res_fn = jax.jit(residuals)
 
+        def rank_checked(p):
+            f = np.asarray(_f_from_params7(jnp.asarray(p)), dtype=np.float64)
+            # Post-refinement rank sanity (fundamentalmatrix.rs:418-424).
+            sv = np.linalg.svd(f.T, compute_uv=False)
+            if sv[1] < 1e-3 or sv[2] > 1e-3:
+                return None
+            return f
+
         r = np.asarray(res_fn(params))
         j = np.asarray(jac_fn(params))
         g = j.T @ r
         if np.max(np.abs(g)) <= 1e-12:
-            return np.asarray(_f_from_params7(params))
+            return rank_checked(params)
         mu = 1e-3 * float(np.max(np.diag(j.T @ j)))
         nu = 2.0
         params = np.asarray(params)
@@ -677,7 +693,9 @@ def _lm_refine_f(f0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
             if np.linalg.norm(delta) <= 1e-12 * (np.linalg.norm(params) + 1e-12):
                 found = True
                 break
-            new_params = params + delta
+            # Descent step (see the docstring's deviation note); the gain
+            # ratio denominator delta'(mu delta + g) matches this sign.
+            new_params = params - delta
             new_r = np.asarray(res_fn(jnp.asarray(new_params)))
             rho_den = float(delta @ (mu * delta + g))
             rho = (r @ r - new_r @ new_r) / rho_den if rho_den != 0 else -1.0
@@ -690,7 +708,6 @@ def _lm_refine_f(f0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                     break
                 mu *= max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
                 nu = 2.0
-                found = True  # accepted at least one step
             else:
                 mu *= nu
                 nu *= 2.0
@@ -699,12 +716,7 @@ def _lm_refine_f(f0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                 break
         if not found:
             return None
-        f = np.asarray(_f_from_params7(jnp.asarray(params)), dtype=np.float64)
-        # Post-refinement rank sanity (fundamentalmatrix.rs:418-424).
-        sv = np.linalg.svd(f.T, compute_uv=False)
-        if sv[1] < 1e-3 or sv[2] > 1e-3:
-            return None
-        return f
+        return rank_checked(params)
 
 
 # ---------------------------------------------------------------------------

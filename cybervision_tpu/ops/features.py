@@ -72,11 +72,15 @@ def brief_pattern(cfg: OrbConfig) -> np.ndarray:
 
 def adjust_contrast(img: jnp.ndarray) -> jnp.ndarray:
     """Linear min/max stretch to [0,255], rounding like the reference's
-    u8 cast (orb.rs:455-472). Input/output: int32 in [0,255]."""
+    f32.round() — half AWAY from zero, i.e. floor(x + 0.5) for these
+    non-negative values, not numpy/jax banker's rounding
+    (orb.rs:455-472). Input/output: int32 in [0,255]."""
     lo = jnp.min(img)
     hi = jnp.max(img)
     coeff = 255.0 / jnp.maximum(hi - lo, 1).astype(jnp.float32)
-    stretched = jnp.round(coeff * (img - lo).astype(jnp.float32)).astype(jnp.int32)
+    stretched = jnp.floor(
+        coeff * (img - lo).astype(jnp.float32) + 0.5
+    ).astype(jnp.int32)
     return jnp.where(lo >= hi, img, stretched)
 
 
@@ -194,15 +198,24 @@ def harris_response(img: jnp.ndarray, cfg: OrbConfig) -> jnp.ndarray:
 
 def gaussian_blur(img: jnp.ndarray, cfg: OrbConfig) -> jnp.ndarray:
     """11-wide separable Gaussian blur of the original image; returns
-    (blurred f32, valid bool) where valid excludes the border band the
-    reference leaves as None (orb.rs:271-314)."""
+    (blurred f32, valid bool) where valid excludes the border bands the
+    reference leaves as None (orb.rs:271-314).
+
+    The reference's vertical band is TWICE the kernel half-width: its
+    first (horizontal) pass already masks y < half (orb.rs:279-281), and
+    the second (vertical) pass drops any pixel whose taps read a None
+    (orb.rs:303-307), pushing the valid rows to [2*half, h - 2*half).
+    The horizontal band stays [half, w - half)."""
     taps = jnp.asarray(gaussian_kernel(cfg.blur_kernel_width), dtype=jnp.float32)
     blurred = _separable_window_sum(img.astype(jnp.float32), taps)
     h, w = img.shape
     half = cfg.blur_kernel_width // 2
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
-    valid = (ys >= half) & (ys < h - half) & (xs >= half) & (xs < w - half)
+    valid = (
+        (ys >= 2 * half) & (ys < h - 2 * half)
+        & (xs >= half) & (xs < w - half)
+    )
     return blurred, valid
 
 
@@ -246,15 +259,17 @@ def orientations(
     m01 = m01_map[pyc, pxc]
     angle = jnp.arctan2(m01, m10)
 
-    # The reference's patch read returns None (dropping the keypoint) if any
-    # tap falls in the unblurred border band (orb.rs:332), so the effective
-    # margin is patch half-width + blur half-width.
-    margin = half + cfg.blur_kernel_width // 2
+    # The reference's patch read returns None (dropping the keypoint) if
+    # any tap falls in the unblurred border band (orb.rs:332); the band is
+    # blur-half wide in x but 2x that in y (see gaussian_blur).
+    bh = cfg.blur_kernel_width // 2
+    mx = half + bh
+    my = half + 2 * bh
     in_bounds = (
-        (pts[:, 0] >= margin)
-        & (pts[:, 1] >= margin)
-        & (pts[:, 0] + margin < w)
-        & (pts[:, 1] + margin < h)
+        (pts[:, 0] >= mx)
+        & (pts[:, 1] >= my)
+        & (pts[:, 0] + mx < w)
+        & (pts[:, 1] + my < h)
     )
     valid = in_bounds & (m00 > 0)
     return angle, valid
@@ -270,7 +285,7 @@ def _binned_tap_indices(cfg: OrbConfig) -> tuple[np.ndarray, int, int]:
     Returns (flat (N_ANGLE_BINS, 2, 256) int32, patch_extent, patch_w):
     flat[b, 0/1, t] is the patch-flat index of pair t's first/second tap
     under rotation by 2*pi*b/N_ANGLE_BINS. Rotating the [-15, 15] pattern
-    box reaches radius 15*sqrt(2) ~ 21, so the patch is 43x43.
+    box reaches radius ceil(15*sqrt(2)) = 22, so the patch is 45x45.
     """
     pattern = brief_pattern(cfg).astype(np.float64)  # (256, 2, 2)
     half = cfg.patch_width // 2
@@ -298,14 +313,14 @@ def brief_descriptors(
     """Rotated-BRIEF 256-bit descriptors packed as (K, 8) uint32
     (orb.rs:346-405).
 
-    MXU formulation: extract each keypoint's 43x43 patch with one
+    MXU formulation: extract each keypoint's 45x45 patch with one
     vmapped dynamic-slice (DMA-friendly contiguous rows, ~4x faster than
     the (K, 512) random gather XLA would emit), quantize orientation into
     N_ANGLE_BINS discrete rotations (OpenCV ORB's own 12-degree
     quantization; the reference's round-to-integer tap offsets already
     quantize effective rotation to ~4 degrees at the pattern rim), and
     evaluate all 256 comparisons as patch @ D_bin where D_bin holds +1 at
-    each pair's second tap and -1 at its first — a (K, 1849) x (1849,
+    each pair's second tap and -1 at its first — a (K, 2025) x (2025,
     256) matmul per bin on the systolic array; a 30-step scan selects
     each keypoint's bin.
 
@@ -369,12 +384,16 @@ def brief_descriptors(
         tau.reshape(-1, nbits // 32, 32) * weights, axis=2, dtype=jnp.uint32
     )
 
-    margin = extent + cfg.blur_kernel_width // 2
+    # Tap reach + blurred border band (x: blur-half, y: 2x — see
+    # gaussian_blur).
+    bh = cfg.blur_kernel_width // 2
+    mx = extent + bh
+    my = extent + 2 * bh
     valid = (
-        (pts[:, 0] >= margin)
-        & (pts[:, 1] >= margin)
-        & (pts[:, 0] + margin < w)
-        & (pts[:, 1] + margin < h)
+        (pts[:, 0] >= mx)
+        & (pts[:, 1] >= my)
+        & (pts[:, 0] + mx < w)
+        & (pts[:, 1] + my < h)
     )
     return desc, valid
 

@@ -57,10 +57,8 @@ def match_descriptors(
 
     pad = (-n1) % chunk
     a_p = jnp.pad(a, ((0, pad), (0, 0)))
-    v1_p = jnp.pad(valid1, (0, pad))
 
-    def one_chunk(args):
-        a_c, _ = args
+    def one_chunk(a_c):
         dot = jax.lax.dot_general(
             a_c,
             b.T,
@@ -75,8 +73,7 @@ def match_descriptors(
 
     n_chunks = (n1 + pad) // chunk
     a_chunks = a_p.reshape(n_chunks, chunk, _BITS)
-    v_chunks = v1_p.reshape(n_chunks, chunk)
-    best_idx, best_dist = jax.lax.map(one_chunk, (a_chunks, v_chunks))
+    best_idx, best_dist = jax.lax.map(one_chunk, a_chunks)
     best_idx = best_idx.reshape(-1)[:n1]
     best_dist = best_dist.reshape(-1)[:n1]
 

@@ -56,8 +56,9 @@ def _scratch_bytes(tile_h: int, w: int, wd: int, n_o: int) -> int:
     """Declared VMEM scratch for one tile (mirrors ncc_sweep's shapes)."""
     hk = KS + wd
     wq = _ru(w, 128)
-    total = 2 * _ru(tile_h + 2 * KS, 8) * _ru(w + 2 * KS, 128)
-    total += 3 * _ru(tile_h + 2 * wd, 8) * _ru(w + 2 * wd, 128)
+    total = _ru(tile_h + 2 * KS, 8) * _ru(w + 2 * KS, 128)
+    # cen/coe/add + the dynamic-axis vert slab (sized for the worst case).
+    total += 4 * _ru(tile_h + 2 * wd, 8) * _ru(w + 2 * wd, 128)
     total += 8 * tile_h * wq
     # n_o warp slabs + the two hoisted box-sum slabs (s_sw, s_sww)
     total += (n_o + 2) * _ru(tile_h + 2 * hk, 8) * _ru(w + 2 * hk, 128)
@@ -169,8 +170,10 @@ def _sweep_kernel(
             ),
         ]
         if axis is None:
+            # vert rides the cen layout (wd margins): the u-loop needs the
+            # dominant-axis field at shifted positions, not just KS halos.
             copies.append(pltpu.make_async_copy(
-                vert_hbm.at[pl.ds(row0, r_img), :], s_vert, sems.at[jnp.int32(1)]
+                vert_hbm.at[pl.ds(row0, r_f), :], s_vert, sems.at[jnp.int32(1)]
             ))
         copies += [
             pltpu.make_async_copy(
@@ -209,7 +212,8 @@ def _sweep_kernel(
             c.wait()
 
         if axis is None:
-            vert_c = s_vert[pl.ds(KS, tile_h), pl.ds(KS, w)] > f32(0.5)
+            vert_cf = s_vert[pl.ds(wd, tile_h), pl.ds(wd, w)]
+            vert_c = vert_cf > f32(0.5)
         avg1 = s_avg1[:, 0:w]
         isd1 = s_isd1[:, 0:w]
         start = s_start[:, 0:w]
@@ -218,8 +222,11 @@ def _sweep_kernel(
         img_slab = s_img[0 : tile_h + 2 * KS, 0 : w + 2 * KS]
         if axis is None:
             vert_slab = (
-                s_vert[0 : tile_h + 2 * KS, 0 : w + 2 * KS] > f32(0.5)
+                s_vert[
+                    wd - KS : wd + KS + tile_h, wd - KS : wd + KS + w
+                ] > f32(0.5)
             )
+            vert_full = s_vert[:]
 
         row_ids = (
             jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0) + row0
@@ -342,16 +349,19 @@ def _sweep_kernel(
 
                 # where() on i1 vectors hits an unsupported truncation
                 # in Mosaic; select float masks instead.
+                # Bounds are [KS, dim-KS): warp box stats at shifted
+                # index p+u are exact only where the 11x11 box stays
+                # inside the warp plane (matches refine_pass's src_ok).
                 if axis == "vert":
-                    src_ok = (row_ids + u >= 0) & (row_ids + u < h)
+                    src_ok = (row_ids + u >= KS) & (row_ids + u < h - KS)
                 elif axis == "horiz":
-                    src_ok = (col_ids + u >= 0) & (col_ids + u < w)
+                    src_ok = (col_ids + u >= KS) & (col_ids + u < w - KS)
                 else:
                     maskr = (
-                        (row_ids + u >= 0) & (row_ids + u < h)
+                        (row_ids + u >= KS) & (row_ids + u < h - KS)
                     ).astype(f32)
                     maskc = (
-                        (col_ids + u >= 0) & (col_ids + u < w)
+                        (col_ids + u >= KS) & (col_ids + u < w - KS)
                     ).astype(f32)
                     src_ok = jnp.where(vert_c, maskr, maskc) > f32(0.5)
                 ok = (
@@ -363,6 +373,13 @@ def _sweep_kernel(
                     & (sd_w >= f32(min_stdev))
                     & (corr >= f32(threshold))
                 )
+                if axis is None:
+                    # Reject hypotheses sourced from pixels whose
+                    # dominant axis differs from p's — their candidate
+                    # lies on the wrong epipolar line (matches
+                    # refine_pass's vert-plane gate).
+                    vu_f = fshift(vert_full, f_rows, f_cols)
+                    ok &= jnp.abs(vu_f - vert_cf) < f32(0.5)
                 corr = jnp.where(ok, corr, -jnp.inf)
                 prev_c = o_corr[0:tile_h, 0:w]
                 upd = corr > prev_c
@@ -468,9 +485,12 @@ def ncc_sweep(
     img1_p = pad(img1, KS)
     # A static axis never reads the vert field (see _sweep_kernel): pass
     # a minimal dummy instead of padding + transferring a full-image
-    # plane per refine level.
+    # plane per refine level. The dynamic-axis kernel reads vert at
+    # u-shifted positions (the cross-axis hypothesis gate), so it gets
+    # the cen layout (wd margins, wd >= KS by the window buckets).
+    assert wd >= KS, f"window {wd} below the NCC half-width {KS}"
     vert_p = (
-        jnp.zeros((8, 128), jnp.float32) if axis is not None else pad(vert, KS)
+        jnp.zeros((8, 128), jnp.float32) if axis is not None else pad(vert, wd)
     )
     cen_p = pad(center, wd)
     coe_p = pad(coeff, wd)
@@ -520,7 +540,7 @@ def ncc_sweep(
             pltpu.VMEM(
                 (8, 128)
                 if axis is not None
-                else (ru(tile_h + 2 * KS, 8), ru(w + 2 * KS, 128)),
+                else (ru(tile_h + 2 * wd, 8), ru(w + 2 * wd, 128)),
                 jnp.float32,
             ),
             pltpu.VMEM((ru(tile_h + 2 * wd, 8), ru(w + 2 * wd, 128)), jnp.float32),

@@ -160,12 +160,14 @@ def rasterize_polygon(points: np.ndarray, max_x: int, max_y: int):
         x_hi = int(np.clip(np.ceil(end_x + 1.0), 0, max_x))
         if x_hi <= x_lo:
             continue
-        xs = np.arange(x_lo, x_hi, dtype=np.float64)
         span = end_x - start_x
         if span == 0:
-            x_c = np.where(xs == start_x, 0.0, np.inf)
-        else:
-            x_c = (xs - start_x) / span
+            # Reference: x_c = 0/0 = NaN fails the [0,1] test, so a
+            # zero-width scanline (triangle apex) emits NO pixel
+            # (output.rs:225-231).
+            continue
+        xs = np.arange(x_lo, x_hi, dtype=np.float64)
+        x_c = (xs - start_x) / span
         inside = (x_c >= 0.0) & (x_c <= 1.0)
         if not inside.any():
             continue
@@ -298,9 +300,10 @@ def build_mesh(
             continue
         polys = canonical_polygons(track_idx[tri.simplices].astype(np.int32))
 
-        # Occlusion culling against every other camera
-        # (output.rs:457-508). Identical affine cameras still cull
-        # polygons spanning depth discontinuities.
+        # Occlusion culling against every other camera with a DISTINCT
+        # projection (output.rs:457-508); identical-projection cameras
+        # (the affine pair) are skipped, matching the reference's
+        # perspective-only culling (output.rs:458).
         keep = np.ones(len(polys), bool)
         for camera_j in range(n_cams):
             if (

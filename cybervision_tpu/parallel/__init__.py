@@ -1,4 +1,4 @@
-from cybervision_tpu.parallel.mesh import make_mesh, pipeline_mesh
+from cybervision_tpu.parallel.mesh import active_platform, make_mesh, pipeline_mesh
 from cybervision_tpu.parallel.sharding import (
     assert_spans_mesh,
     constrain_rows,
@@ -9,6 +9,7 @@ from cybervision_tpu.parallel.sharding import (
 __all__ = [
     "make_mesh",
     "pipeline_mesh",
+    "active_platform",
     "assert_spans_mesh",
     "constrain_rows",
     "row_sharding",

@@ -28,6 +28,19 @@ from jax.sharding import Mesh
 _PIPELINE_MESH: dict[tuple, Mesh] = {}
 
 
+def active_platform() -> str:
+    """The platform the pipeline actually computes on.
+
+    jax.default_backend() ignores an enclosing jax.default_device(...)
+    context (it reports the process-global backend), so --mode=cpu on a
+    TPU host would otherwise still select Pallas kernels and TPU meshes.
+    Honor the context first."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev if isinstance(dev, str) else dev.platform
+    return jax.default_backend()
+
+
 def pipeline_mesh(min_devices: int = 2) -> Mesh | None:
     """The flat ('dev',) mesh the pipeline shards its hot stages over.
 
@@ -44,7 +57,10 @@ def pipeline_mesh(min_devices: int = 2) -> Mesh | None:
     """
     if os.environ.get("CVTPU_NO_SHARD"):
         return None
-    devices = jax.devices()
+    # Mesh over the ACTIVE platform's devices — under --mode=cpu's
+    # jax.default_device(cpu) context, a TPU-host process must not build
+    # a TPU mesh (see active_platform).
+    devices = jax.devices(active_platform())
     if len(devices) < min_devices:
         return None
     if devices[0].platform == "cpu" and not os.environ.get("CVTPU_SHARD"):

@@ -112,10 +112,9 @@ class Reconstruction:
             f"Performing dense correlation of images {self.filenames[i]}"
             f" and {self.filenames[j]}"
         )
-        import jax
+        from cybervision_tpu.parallel import active_platform
 
-        backend = jax.default_backend()
-        name = "CPU (XLA)" if backend == "cpu" else "TPU (XLA)"
+        name = "CPU (XLA)" if active_platform() == "cpu" else "TPU (XLA)"
         if self.cfg.hardware == HardwareMode.TPU_LOW_MEMORY:
             name += " low-power"
         self._print(f"Selected hardware: {name}")
@@ -147,12 +146,14 @@ class Reconstruction:
                     self._run_perspective()
 
     def _out_scale(self) -> tuple[float, float, float]:
-        """Depth scale for writers (reconstruction.rs:223-233)."""
-        img1 = self.image(0)
+        """Depth scale for writers (reconstruction.rs:223-233).
+
+        xy are hardcoded to 1.0 — the reference deliberately ignores the
+        metadata pixel pitch ("Most 3D viewers don't display coordinates
+        below 0", reconstruction.rs:223-225) — so the affine branch's
+        (x+y)/2 z-fold is an intentional no-op kept for formula parity."""
         s = (1.0, 1.0, float(self.cfg.scale))
         if self.cfg.projection == ProjectionMode.AFFINE:
-            # Reset xy to 1.0 (viewers dislike tiny SEM units); fold the
-            # average metadata pixel pitch into z.
             return (s[0], s[1], s[2] * (s[0] + s[1]) / 2.0)
         return s
 

@@ -19,8 +19,11 @@ def adjust_contrast(img):
     lo, hi = int(img.min()), int(img.max())
     if lo >= hi:
         return img.copy()
-    coeff = 255.0 / (hi - lo)
-    return np.round(coeff * (img.astype(np.float32) - lo)).astype(np.int32)
+    coeff = np.float32(255.0) / np.float32(hi - lo)
+    # f32.round() rounds half away from zero (floor(x+0.5) for x >= 0).
+    return np.floor(
+        coeff * (img.astype(np.float32) - np.float32(lo)) + np.float32(0.5)
+    ).astype(np.int32)
 
 
 def is_keypoint(img, threshold, x, y):

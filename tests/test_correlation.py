@@ -91,6 +91,34 @@ def test_epipolar_fields_match_oracle(rng):
             np.testing.assert_allclose(float(ep["add"][y, x]), add[1], rtol=1e-4)
 
 
+def test_first_pass_candidate_tiling_equivalence(rng):
+    """The candidate-axis tiling (bounds the (rows, P2) correlation
+    intermediate for extreme aspect ratios) must reproduce the
+    single-tile result exactly, including first-maximum tie-breaking.
+    row_chunk=96 puts the whole image in one row chunk, which drives
+    cand_chunk to its 4096 floor -> 3 candidate tiles; row_chunk=8 keeps
+    a single candidate tile."""
+    h = w = 96
+    img1, img2 = _shifted_pair(rng, h, w, 3)
+    f = jnp.asarray(F_HSHIFT, jnp.float32)
+    one = corr.first_pass(
+        jnp.asarray(img1), jnp.asarray(img2), f, 1.0, 0.6, 1.0, 2,
+        row_chunk=8,
+    )
+    tiled = corr.first_pass(
+        jnp.asarray(img1), jnp.asarray(img2), f, 1.0, 0.6, 1.0, 2,
+        row_chunk=96,
+    )
+    np.testing.assert_array_equal(np.asarray(one.valid), np.asarray(tiled.valid))
+    both = np.asarray(one.valid)
+    np.testing.assert_array_equal(
+        np.asarray(one.pos)[both], np.asarray(tiled.pos)[both]
+    )
+    np.testing.assert_allclose(
+        np.asarray(one.corr)[both], np.asarray(tiled.corr)[both], atol=1e-6
+    )
+
+
 def test_first_pass_matches_oracle(rng):
     h, w, dx = 28, 32, 3
     img1, img2 = _shifted_pair(rng, h, w, dx)

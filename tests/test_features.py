@@ -91,9 +91,11 @@ def test_orientation_border_invalid(rng):
     cfg = OrbConfig()
     img = jnp.asarray(rng.randint(1, 255, (64, 64)), dtype=jnp.int32)
     blurred, valid = features.gaussian_blur(img, cfg)
-    pts = jnp.asarray([[19, 32], [20, 32], [32, 43], [32, 44]], dtype=jnp.int32)
+    pts = jnp.asarray([[19, 32], [20, 32], [32, 38], [32, 39]], dtype=jnp.int32)
     _, ok = features.orientations(blurred, valid, pts, cfg)
-    # margin = 15 (patch) + 5 (blur) = 20: x in [20, 64-21], y likewise.
+    # x margin = 15 (patch) + 5 (blur) = 20: x in [20, 64-21].
+    # y margin = 15 + 2*5 = 25 (the reference's double-masked blur band):
+    # y in [25, 64-26].
     assert list(np.asarray(ok)) == [False, True, True, False]
 
 
@@ -116,7 +118,7 @@ def test_extract_keypoints_end_to_end(rng):
 
 
 def test_extract_keypoints_image_smaller_than_patch(rng):
-    """Images smaller than the 43x43 BRIEF patch must degrade to zero
+    """Images smaller than the 45x45 BRIEF patch must degrade to zero
     valid keypoints, not a trace-time dynamic_slice error (regression:
     the vmapped patch slice required operand dims >= patch width)."""
     img = rng.randint(0, 256, (32, 40)).astype(np.uint8)
