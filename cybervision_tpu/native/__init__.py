@@ -19,7 +19,10 @@ _SO = os.path.join(_DIR, "libcvtpu_native.so")
 
 def _build() -> None:
     src = os.path.join(_DIR, "native.cpp")
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+    mk = os.path.join(_DIR, "Makefile")
+    # Makefile counts as a source: flag/define edits must rebuild too.
+    newest = max(os.path.getmtime(src), os.path.getmtime(mk))
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest:
         return
     subprocess.run(
         ["make", "-s", "libcvtpu_native.so"],
@@ -171,7 +174,7 @@ def ply_write_grid(path, points3d, out_scale, tracks, grid_shape, image=None) ->
     sampled from `image`) + grid-derived faces to `path` in one native
     call — byte-identical to the grid_mesh_triangles + ply_pack_* chain.
     image=None writes a plain (colorless) mesh. Returns the face count;
-    raises OSError on write failure."""
+    raises OutputError on write failure."""
     pts = np.ascontiguousarray(points3d, np.float64)
     scale = np.ascontiguousarray(out_scale, np.float64)
     tracks = np.ascontiguousarray(tracks, np.int32)
@@ -191,7 +194,9 @@ def ply_write_grid(path, points3d, out_scale, tracks, grid_shape, image=None) ->
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
     )
     if faces < 0:
-        raise OSError(f"ply_write_grid: cannot write {path}")
+        from cybervision_tpu.errors import OutputError
+
+        raise OutputError(f"ply_write_grid: cannot write {path}")
     return int(faces)
 
 
@@ -201,7 +206,7 @@ def ply_write_corr_grid(path, word, out_scale, image=None) -> int:
     pixels in row-major order with z = hypot(x - x2, y - y2) computed
     natively — byte-identical to the triangulate_affine + ply_write_grid
     chain without its host numpy passes. Returns the face count; raises
-    OSError on write failure."""
+    OutputError on write failure."""
     word = np.ascontiguousarray(word, np.int32)
     h, w = word.shape
     scale = np.ascontiguousarray(out_scale, np.float64)
@@ -220,7 +225,9 @@ def ply_write_corr_grid(path, word, out_scale, image=None) -> int:
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if faces < 0:
-        raise OSError(f"ply_write_corr_grid: cannot write {path}")
+        from cybervision_tpu.errors import OutputError
+
+        raise OutputError(f"ply_write_corr_grid: cannot write {path}")
     return int(faces)
 
 
@@ -228,7 +235,11 @@ def format_obj_vertices(verts, colors=None) -> str:
     """'v x y z[ r g b]\\n' lines, shortest-round-trip doubles."""
     verts = np.ascontiguousarray(verts, np.float64)
     n = len(verts)
-    per = 120 if colors is not None else 96
+    # Worst-case shortest-round-trip double is ~24 chars ("-1.7976...e-308"
+    # class); a colored line is 'v ' + 6 fields + separators + newline,
+    # so 176/line bounds it (120 was measurably too small: typical scaled
+    # colored lines run ~150 bytes — a heap overflow, not a truncation).
+    per = 176 if colors is not None else 96
     buf = ctypes.create_string_buffer(per * max(n, 1))
     cptr = (
         _dptr(np.ascontiguousarray(colors, np.float64))

@@ -32,12 +32,15 @@ static void rasterize(const Vertex *pts_in, long max_x, long max_y,
   std::sort(p, p + 3, [](const Vertex &a, const Vertex &b) { return a.y < b.y; });
   const Vertex &a = p[0], &b = p[1], &c = p[2];
 
-  long y_min = (long)std::floor(a.y);
-  if (y_min < 0) y_min = 0;
-  if (y_min > max_y) y_min = max_y;
-  long y_max = (long)std::ceil(c.y + 1.0);
-  if (y_max < 0) y_max = 0;
-  if (y_max > max_y) y_max = max_y;
+  // Clamp in DOUBLE before the integer cast: casting an out-of-range
+  // double to long is UB (near-plane projections reach 1e18), and the
+  // reference clamps in f64 before its usize cast (output.rs:132-135).
+  const auto clamp_l = [](double v, long hi) {
+    return (long)std::clamp(v, 0.0, (double)hi);
+  };
+  if (!std::isfinite(a.y) || !std::isfinite(c.y)) return;
+  long y_min = clamp_l(std::floor(a.y), max_y);
+  long y_max = clamp_l(std::ceil(c.y + 1.0), max_y);
 
   for (long y = y_min; y < y_max; y++) {
     double fy = (double)y;
@@ -69,12 +72,8 @@ static void rasterize(const Vertex *pts_in, long max_x, long max_y,
       std::swap(start_x, end_x);
       std::swap(start_v, end_v);
     }
-    long x_lo = (long)std::floor(start_x);
-    if (x_lo < 0) x_lo = 0;
-    if (x_lo > max_x) x_lo = max_x;
-    long x_hi = (long)std::ceil(end_x + 1.0);
-    if (x_hi < 0) x_hi = 0;
-    if (x_hi > max_x) x_hi = max_x;
+    long x_lo = clamp_l(std::floor(start_x), max_x);
+    long x_hi = clamp_l(std::ceil(end_x + 1.0), max_x);
 
     double span = end_x - start_x;
     // Zero-width scanline (triangle apex): the reference's x_c = 0/0 is
@@ -88,6 +87,104 @@ static void rasterize(const Vertex *pts_in, long max_x, long max_y,
       if (!emit(x, y, val)) return;
     }
   }
+}
+
+// Canonical triangle rotation: smallest vertex index first, cyclic order
+// kept (Polygon::new, output.rs:55-67). THE single copy — the separate
+// mesher and both fused PLY writers must stay byte-identical.
+static inline void canon3(int32_t a, int32_t b, int32_t c, int32_t t[3]) {
+  if (b < a && b <= c) {
+    t[0] = b; t[1] = c; t[2] = a;
+  } else if (c < a && c < b) {
+    t[0] = c; t[1] = a; t[2] = b;
+  } else {
+    t[0] = a; t[1] = b; t[2] = c;
+  }
+}
+
+// Walk every 2x2 quad of the pixel-index grid, splitting 4-valid quads
+// into two triangles and 3-valid quads into one; calls tri(a, b, c) in
+// pre-rotation vertex order. THE single copy of the quad-split rule.
+template <typename Tri>
+static void quad_walk(const int32_t *idx, long h, long w, Tri tri) {
+  for (long y = 0; y + 1 < h; y++) {
+    const int32_t *r0 = idx + y * w;
+    const int32_t *r1 = r0 + w;
+    for (long x = 0; x + 1 < w; x++) {
+      int32_t a = r0[x], b = r0[x + 1], c = r1[x], d = r1[x + 1];
+      int n = (a >= 0) + (b >= 0) + (c >= 0) + (d >= 0);
+      if (n == 4) {
+        tri(a, b, d);
+        tri(a, d, c);
+      } else if (n == 3) {
+        if (a < 0) tri(b, d, c);
+        else if (b < 0) tri(a, d, c);
+        else if (c < 0) tri(a, b, d);
+        else tri(a, b, c);
+      }
+    }
+  }
+}
+
+
+// Small L1-resident staging buffer flushed with one fwrite per ~60 KB
+// (per-record fwrite would pay millions of stdio lock/dispatch rounds).
+// Stack-allocated by the caller: reentrant across threads/instances.
+struct ChunkWriter {
+  FILE *fh;
+  char buf[60 * 1024];
+  char *p = buf;
+  explicit ChunkWriter(FILE *f) : fh(f) {}
+  void flush() {
+    std::fwrite(buf, 1, p - buf, fh);
+    p = buf;
+  }
+  void maybe_flush() {
+    if (p >= buf + sizeof buf - 32) flush();
+  }
+  void be_double(double v) {
+    uint64_t bits;
+    std::memcpy(&bits, &v, 8);
+    bits = __builtin_bswap64(bits);
+    std::memcpy(p, &bits, 8);
+    p += 8;
+  }
+  void rgb(const uint8_t *c) {
+    std::memcpy(p, c, 3);
+    p += 3;
+  }
+  // One PLY face record: u8 3 + canonical-rotated, REVERSED BE i32
+  // indices (output.rs:757-761).
+  void ply_face(int32_t a, int32_t b, int32_t c) {
+    int32_t t[3];
+    canon3(a, b, c, t);
+    *p++ = 3;
+    for (int k = 2; k >= 0; k--) {
+      uint32_t bits;
+      std::memcpy(&bits, &t[k], 4);
+      bits = __builtin_bswap32(bits);
+      std::memcpy(p, &bits, 4);
+      p += 4;
+    }
+    maybe_flush();
+  }
+};
+
+static void ply_header(FILE *fh, long n_verts, long n_faces, bool color) {
+  std::fprintf(fh,
+               "ply\nformat binary_big_endian 1.0\n"
+               "comment Cybervision 3D surface\n"
+               "element vertex %ld\n"
+               "property double x\nproperty double y\nproperty double z\n",
+               n_verts);
+  if (color)
+    std::fprintf(fh,
+                 "property uchar red\nproperty uchar green\n"
+                 "property uchar blue\n");
+  std::fprintf(fh,
+               "element face %ld\n"
+               "property list uchar int vertex_indices\nend_header\n",
+               n_faces);
 }
 
 extern "C" {
@@ -145,42 +242,14 @@ void rasterize_polygons_max(double *out, long h, long w, const double *pts,
   }
 }
 
-// Grid mesher: split every valid 2x2 quad of the pixel-index grid into
-// two triangles (3-valid quads emit one), canonical rotation (smallest
-// vertex index first, cyclic order kept — Polygon::new, output.rs:55-67)
-// applied inline. idx: (h, w) int32 row-major, -1 = no track at pixel.
-// out: (2*(h-1)*(w-1), 3) int32 capacity. Returns triangle count.
-static void emit_tri(int32_t a, int32_t b, int32_t c, int32_t *&p) {
-  // rotate so the smallest index is first, preserving cyclic order
-  if (b < a && b <= c) {
-    p[0] = b; p[1] = c; p[2] = a;
-  } else if (c < a && c < b) {
-    p[0] = c; p[1] = a; p[2] = b;
-  } else {
-    p[0] = a; p[1] = b; p[2] = c;
-  }
-  p += 3;
-}
-
+// Grid mesher: triangulate the valid 2x2 quads of the (h, w) pixel-index
+// grid (-1 = no track); out capacity 2*(h-1)*(w-1) rows. Returns count.
 long grid_mesh_triangles(const int32_t *idx, long h, long w, int32_t *out) {
   int32_t *p = out;
-  for (long y = 0; y + 1 < h; y++) {
-    const int32_t *r0 = idx + y * w;
-    const int32_t *r1 = r0 + w;
-    for (long x = 0; x + 1 < w; x++) {
-      int32_t a = r0[x], b = r0[x + 1], c = r1[x], d = r1[x + 1];
-      int n = (a >= 0) + (b >= 0) + (c >= 0) + (d >= 0);
-      if (n == 4) {
-        emit_tri(a, b, d, p);
-        emit_tri(a, d, c, p);
-      } else if (n == 3) {
-        if (a < 0) emit_tri(b, d, c, p);
-        else if (b < 0) emit_tri(a, d, c, p);
-        else if (c < 0) emit_tri(a, b, d, p);
-        else emit_tri(a, b, c, p);
-      }
-    }
-  }
+  quad_walk(idx, h, w, [&](int32_t a, int32_t b, int32_t c) {
+    canon3(a, b, c, p);
+    p += 3;
+  });
   return (p - out) / 3;
 }
 
@@ -230,6 +299,8 @@ static char *write_double(char *p, double v) {
   return res.ptr;
 }
 
+
+
 // OBJ vertex lines: "v x y z\n" (optionally with rgb in [0,1]). Returns
 // the number of bytes written into out (caller sizes out at 96 bytes per
 // line, 120 with colors).
@@ -274,119 +345,51 @@ long ply_write_grid(const char *path, const double *pts, long n,
                     const double *scale, const int32_t *tracks, long n_cams,
                     const uint8_t *img, int32_t *idx, long h, long w) {
   // Scatter the track indices into the pixel grid (camera-0 position).
+  // Bounds-checked: a sparse/filtered track array (MISSING = -1 entries
+  // or out-of-grid coords) must not corrupt memory — such tracks simply
+  // don't join the grid mesh.
   const long stride = n_cams * 2;
   std::memset(idx, 0xff, sizeof(int32_t) * h * w);  // -1 everywhere
   for (long i = 0; i < n; i++) {
     const int32_t x = tracks[i * stride], y = tracks[i * stride + 1];
+    if (x < 0 || x >= w || y < 0 || y >= h) continue;
     idx[(long)y * w + x] = (int32_t)i;
   }
 
   // Pass 1: face count (needed in the header before any body bytes).
   long faces = 0;
-  for (long y = 0; y + 1 < h; y++) {
-    const int32_t *r0 = idx + y * w;
-    const int32_t *r1 = r0 + w;
-    for (long x = 0; x + 1 < w; x++) {
-      int nv = (r0[x] >= 0) + (r0[x + 1] >= 0) + (r1[x] >= 0) +
-               (r1[x + 1] >= 0);
-      faces += (nv == 4) ? 2 : (nv == 3) ? 1 : 0;
-    }
-  }
+  quad_walk(idx, h, w, [&](int32_t, int32_t, int32_t) { faces++; });
 
   FILE *fh = std::fopen(path, "wb");
   if (!fh) return -1;
   // Unbuffered: records are already chunked below, so stdio buffering
   // would only add one more full copy of the 55 MB body.
   std::setvbuf(fh, nullptr, _IONBF, 0);
+  ply_header(fh, n, faces, img != nullptr);
 
-  std::fprintf(fh,
-               "ply\nformat binary_big_endian 1.0\n"
-               "comment Cybervision 3D surface\n"
-               "element vertex %ld\n"
-               "property double x\nproperty double y\nproperty double z\n",
-               n);
-  if (img)
-    std::fprintf(fh,
-                 "property uchar red\nproperty uchar green\n"
-                 "property uchar blue\n");
-  std::fprintf(fh,
-               "element face %ld\n"
-               "property list uchar int vertex_indices\nend_header\n",
-               faces);
-
-  // Records are packed into a small L1-resident chunk flushed with one
-  // fwrite per ~60 KB (per-record fwrite would pay a few million stdio
-  // lock/dispatch rounds).
-  char chunk[60 * 1024];  // stack-local: reentrant across threads/instances
-  char *p = chunk;
-  const char *chunk_hi = chunk + sizeof chunk - 32;
-  auto flush = [&]() {
-    std::fwrite(chunk, 1, p - chunk, fh);
-    p = chunk;
-  };
-
+  ChunkWriter cw(fh);
   const double sx = scale[0], sy = -scale[1], sz = scale[2];
   for (long i = 0; i < n; i++) {
-    const double v[3] = {pts[i * 3] * sx, pts[i * 3 + 1] * sy,
-                         pts[i * 3 + 2] * sz};
-    for (int k = 0; k < 3; k++) {
-      uint64_t bits;
-      std::memcpy(&bits, &v[k], 8);
-      bits = __builtin_bswap64(bits);
-      std::memcpy(p, &bits, 8);
-      p += 8;
-    }
+    cw.be_double(pts[i * 3] * sx);
+    cw.be_double(pts[i * 3 + 1] * sy);
+    cw.be_double(pts[i * 3 + 2] * sz);
     if (img) {
       // Vertex color: source pixel at the track's camera-0 position
       // (output.rs:712-729); track order is row-major over the grid, so
       // these reads stream.
       const int32_t x = tracks[i * stride], y = tracks[i * stride + 1];
-      std::memcpy(p, img + ((long)y * w + x) * 3, 3);
-      p += 3;
+      const long cx = std::clamp((long)x, 0L, w - 1);
+      const long cy = std::clamp((long)y, 0L, h - 1);
+      cw.rgb(img + (cy * w + cx) * 3);
     }
-    if (p >= chunk_hi) flush();
+    cw.maybe_flush();
   }
-  flush();
+  cw.flush();
 
-  // Pass 2: emit faces quad-by-quad — canonical rotation, then the PLY
-  // record's reversed index order.
-  auto emit = [&](int32_t a, int32_t b, int32_t c) {
-    int32_t t[3];
-    if (b < a && b <= c) {
-      t[0] = b; t[1] = c; t[2] = a;
-    } else if (c < a && c < b) {
-      t[0] = c; t[1] = a; t[2] = b;
-    } else {
-      t[0] = a; t[1] = b; t[2] = c;
-    }
-    *p++ = 3;
-    for (int k = 2; k >= 0; k--) {
-      uint32_t bits;
-      std::memcpy(&bits, &t[k], 4);
-      bits = __builtin_bswap32(bits);
-      std::memcpy(p, &bits, 4);
-      p += 4;
-    }
-    if (p >= chunk_hi) flush();
-  };
-  for (long y = 0; y + 1 < h; y++) {
-    const int32_t *r0 = idx + y * w;
-    const int32_t *r1 = r0 + w;
-    for (long x = 0; x + 1 < w; x++) {
-      int32_t a = r0[x], b = r0[x + 1], c = r1[x], d = r1[x + 1];
-      int nv = (a >= 0) + (b >= 0) + (c >= 0) + (d >= 0);
-      if (nv == 4) {
-        emit(a, b, d);
-        emit(a, d, c);
-      } else if (nv == 3) {
-        if (a < 0) emit(b, d, c);
-        else if (b < 0) emit(a, d, c);
-        else if (c < 0) emit(a, b, d);
-        else emit(a, b, c);
-      }
-    }
-  }
-  flush();
+  quad_walk(idx, h, w, [&](int32_t a, int32_t b, int32_t c) {
+    cw.ply_face(a, b, c);
+  });
+  cw.flush();
   if (std::fclose(fh) != 0) return -1;
   return faces;
 }
@@ -409,43 +412,14 @@ long ply_write_corr_grid(const char *path, const int32_t *word, long h,
   for (long i = 0; i < h * w; i++)
     idx[i] = ((word[i] >> 24) & 1) ? (int32_t)n++ : -1;
   long faces = 0;
-  for (long y = 0; y + 1 < h; y++) {
-    const int32_t *r0 = idx + y * w;
-    const int32_t *r1 = r0 + w;
-    for (long x = 0; x + 1 < w; x++) {
-      int nv = (r0[x] >= 0) + (r0[x + 1] >= 0) + (r1[x] >= 0) +
-               (r1[x + 1] >= 0);
-      faces += (nv == 4) ? 2 : (nv == 3) ? 1 : 0;
-    }
-  }
+  quad_walk(idx, h, w, [&](int32_t, int32_t, int32_t) { faces++; });
 
   FILE *fh = std::fopen(path, "wb");
   if (!fh) return -1;
   std::setvbuf(fh, nullptr, _IONBF, 0);
+  ply_header(fh, n, faces, img != nullptr);
 
-  std::fprintf(fh,
-               "ply\nformat binary_big_endian 1.0\n"
-               "comment Cybervision 3D surface\n"
-               "element vertex %ld\n"
-               "property double x\nproperty double y\nproperty double z\n",
-               n);
-  if (img)
-    std::fprintf(fh,
-                 "property uchar red\nproperty uchar green\n"
-                 "property uchar blue\n");
-  std::fprintf(fh,
-               "element face %ld\n"
-               "property list uchar int vertex_indices\nend_header\n",
-               faces);
-
-  char chunk[60 * 1024];  // stack-local: reentrant across threads/instances
-  char *p = chunk;
-  const char *chunk_hi = chunk + sizeof chunk - 32;
-  auto flush = [&]() {
-    std::fwrite(chunk, 1, p - chunk, fh);
-    p = chunk;
-  };
-
+  ChunkWriter cw(fh);
   const double sx = scale[0], sy = -scale[1], sz = scale[2];
   for (long y = 0; y < h; y++) {
     for (long x = 0; x < w; x++) {
@@ -453,61 +427,19 @@ long ply_write_corr_grid(const char *path, const int32_t *word, long h,
       if (!((wv >> 24) & 1)) continue;
       const double dx = (double)x - (double)(wv & 0xFFF);
       const double dy = (double)y - (double)((wv >> 12) & 0xFFF);
-      const double v[3] = {(double)x * sx, (double)y * sy,
-                           std::hypot(dx, dy) * sz};
-      for (int k = 0; k < 3; k++) {
-        uint64_t bits;
-        std::memcpy(&bits, &v[k], 8);
-        bits = __builtin_bswap64(bits);
-        std::memcpy(p, &bits, 8);
-        p += 8;
-      }
-      if (img) {
-        std::memcpy(p, img + (y * w + x) * 3, 3);
-        p += 3;
-      }
-      if (p >= chunk_hi) flush();
+      cw.be_double((double)x * sx);
+      cw.be_double((double)y * sy);
+      cw.be_double(std::hypot(dx, dy) * sz);
+      if (img) cw.rgb(img + (y * w + x) * 3);
+      cw.maybe_flush();
     }
   }
-  flush();
+  cw.flush();
 
-  auto emit = [&](int32_t a, int32_t b, int32_t c) {
-    int32_t t[3];
-    if (b < a && b <= c) {
-      t[0] = b; t[1] = c; t[2] = a;
-    } else if (c < a && c < b) {
-      t[0] = c; t[1] = a; t[2] = b;
-    } else {
-      t[0] = a; t[1] = b; t[2] = c;
-    }
-    *p++ = 3;
-    for (int k = 2; k >= 0; k--) {
-      uint32_t bits;
-      std::memcpy(&bits, &t[k], 4);
-      bits = __builtin_bswap32(bits);
-      std::memcpy(p, &bits, 4);
-      p += 4;
-    }
-    if (p >= chunk_hi) flush();
-  };
-  for (long y = 0; y + 1 < h; y++) {
-    const int32_t *r0 = idx + y * w;
-    const int32_t *r1 = r0 + w;
-    for (long x = 0; x + 1 < w; x++) {
-      int32_t a = r0[x], b = r0[x + 1], c = r1[x], d = r1[x + 1];
-      int nv = (a >= 0) + (b >= 0) + (c >= 0) + (d >= 0);
-      if (nv == 4) {
-        emit(a, b, d);
-        emit(a, d, c);
-      } else if (nv == 3) {
-        if (a < 0) emit(b, d, c);
-        else if (b < 0) emit(a, d, c);
-        else if (c < 0) emit(a, b, d);
-        else emit(a, b, c);
-      }
-    }
-  }
-  flush();
+  quad_walk(idx, h, w, [&](int32_t a, int32_t b, int32_t c) {
+    cw.ply_face(a, b, c);
+  });
+  cw.flush();
   if (std::fclose(fh) != 0) return -1;
   return faces;
 }

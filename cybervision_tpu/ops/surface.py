@@ -34,7 +34,18 @@ def rodrigues_matrix(r: np.ndarray) -> np.ndarray:
 
 def rodrigues_vector(rm: np.ndarray) -> np.ndarray:
     """Axis-angle from a rotation matrix, Tomasi's decoding
-    (triangulation.rs:414-455)."""
+    (triangulation.rs:414-455).
+
+    Documented deviation: rho is read directly off the skew-symmetric
+    a = (R - R')/2 (rho = [a21, a02, a10] = sin(theta)*u, the correct
+    Tomasi form, so theta = atan2(sin, cos)). The reference SUBTRACTS THE
+    MIRRORED ENTRIES AGAIN (rho = [a21-a12, ...] = 2 sin(theta)*u,
+    triangulation.rs:417-421), decoding theta = atan2(2 sin, cos) — a 30
+    degree rotation decodes as 49.1 degrees, does not round-trip through
+    matrix_r, and since Camera::from_matrix REBUILDS r_matrix from the
+    corrupted vector (rs:457-458), every upstream perspective camera
+    rotation is distorted relative to its own E/P3P decomposition. This
+    implementation round-trips exactly (tested)."""
     a = (rm - rm.T) / 2.0
     rho = np.array([a[2, 1], a[0, 2], a[1, 0]])
     s = float(np.linalg.norm(rho))

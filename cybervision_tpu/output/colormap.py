@@ -30,8 +30,9 @@ def map_depth(values: np.ndarray) -> np.ndarray:
     into the 256-entry table. values: (...,) in [0, 1] -> (..., 3) uint8."""
     global _LUT
     if _LUT is None:
-        _LUT = _viridis_lut().astype(np.float32)
-    v = np.clip(np.asarray(values, np.float32) * 255.0, 0.0, 255.0)
+        _LUT = _viridis_lut()  # f64: the reference lerps in f64 and an
+        # f32 lerp flips the +0.5 rounding near .5 channel boundaries.
+    v = np.clip(np.asarray(values, np.float64) * 255.0, 0.0, 255.0)
     box = np.minimum(v.astype(np.int32), 254)
     ratio = (v - box)[..., None]
     c1 = _LUT[box]

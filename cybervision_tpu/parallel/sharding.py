@@ -55,9 +55,11 @@ def assert_spans_mesh(x, mesh: Mesh) -> None:
     """Raise unless x's committed sharding covers every mesh device —
     the guard the multi-chip tests and dryrun use so the pipeline can't
     silently fall back to one device."""
-    devs = getattr(x.sharding, "device_set", None)
+    sharding = getattr(x, "sharding", None)  # numpy arrays have none —
+    # the most common silent-fallback product must hit the clear message.
+    devs = getattr(sharding, "device_set", None)
     want = set(mesh.devices.flat)
     if devs is None or not want.issubset(devs):
         raise AssertionError(
-            f"array sharding {x.sharding} does not span the {mesh} mesh"
+            f"array sharding {sharding} does not span the {mesh} mesh"
         )

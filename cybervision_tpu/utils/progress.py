@@ -44,6 +44,7 @@ class ProgressBar:
         self._show_message = show_message
         self._message = ""
         self._last_render = 0.0
+        self._last_len = 0
         self._enabled = hasattr(self._stream, "isatty") and self._stream.isatty()
 
     def report_status(self, pos: float) -> None:
@@ -57,7 +58,9 @@ class ProgressBar:
         filled = int(pos * 40)
         bar = "█" * filled + "░" * (40 - filled)
         msg = self._message if self._show_message else ""
-        self._stream.write(f"\r{bar} {pos * 100.0:.2f}%{msg}")
+        line = f"{bar} {pos * 100.0:.2f}%{msg}"
+        self._last_len = max(self._last_len, len(line))
+        self._stream.write("\r" + line)
         self._stream.flush()
 
     def report_matches(self, count: int) -> None:
@@ -66,7 +69,9 @@ class ProgressBar:
 
     def finish(self) -> None:
         if self._enabled:
-            self._stream.write("\r" + " " * 60 + "\r")
+            # Clear the longest line actually rendered (a fixed 60 cols
+            # left residue from long ", N matches" suffixes).
+            self._stream.write("\r" + " " * self._last_len + "\r")
             self._stream.flush()
 
 

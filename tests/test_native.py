@@ -79,3 +79,24 @@ def test_format_obj(rng):
     flines = ftxt.splitlines()
     assert len(flines) == 20
     assert flines[0] == f"f {faces[0,0]} {faces[0,1]} {faces[0,2]}"
+
+
+def test_format_obj_vertices_colored_long_lines(rng):
+    """Worst-case shortest-round-trip doubles with colors: typical scaled
+    colored lines run ~150 bytes, which overflowed the old 120-bytes/line
+    output buffer (heap corruption). Every line must round-trip exactly."""
+    n = 4096
+    verts = (rng.uniform(-1, 1, (n, 3))) * 1e-300  # long mantissa + exponent
+    colors = rng.uniform(0, 1, (n, 3))
+    txt = native.format_obj_vertices(verts, colors)
+    lines = txt.splitlines()
+    assert len(lines) == n
+    for i in (0, 1, n // 2, n - 1):
+        parts = lines[i].split()
+        assert parts[0] == "v" and len(parts) == 7
+        np.testing.assert_array_equal(
+            [float(x) for x in parts[1:4]], verts[i]
+        )
+        np.testing.assert_array_equal(
+            [float(x) for x in parts[4:7]], colors[i]
+        )
