@@ -20,10 +20,13 @@ _SO = os.path.join(_DIR, "libcvtpu_native.so")
 def _build() -> None:
     src = os.path.join(_DIR, "native.cpp")
     mk = os.path.join(_DIR, "Makefile")
-    # Makefile counts as a source: flag/define edits must rebuild too.
-    newest = max(os.path.getmtime(src), os.path.getmtime(mk))
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest:
-        return
+    if os.path.exists(_SO):
+        # Makefile counts as a source: flag/define edits must rebuild
+        # too. A deployment stripped down to just the prebuilt .so
+        # (sources absent) keeps working — nothing to compare against.
+        mtimes = [os.path.getmtime(p) for p in (src, mk) if os.path.exists(p)]
+        if not mtimes or os.path.getmtime(_SO) >= max(mtimes):
+            return
     subprocess.run(
         ["make", "-s", "libcvtpu_native.so"],
         cwd=_DIR,

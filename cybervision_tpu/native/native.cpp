@@ -303,7 +303,8 @@ static char *write_double(char *p, double v) {
 
 // OBJ vertex lines: "v x y z\n" (optionally with rgb in [0,1]). Returns
 // the number of bytes written into out (caller sizes out at 96 bytes per
-// line, 120 with colors).
+// line, 176 with colors — worst-case shortest-round-trip doubles reach
+// ~24 chars/field; keep in sync with native/__init__.py format_obj_vertices).
 long format_obj_vertices(const double *verts, long n, const double *colors,
                          char *out) {
   char *p = out;
@@ -390,7 +391,12 @@ long ply_write_grid(const char *path, const double *pts, long n,
     cw.ply_face(a, b, c);
   });
   cw.flush();
-  if (std::fclose(fh) != 0) return -1;
+  // ChunkWriter::flush() discards fwrite's return and the file is
+  // unbuffered, so fclose alone cannot see a mid-body short write (disk
+  // full / EIO): check ferror explicitly — a truncated mesh must not be
+  // reported as success.
+  const bool write_failed = std::ferror(fh) != 0;
+  if (std::fclose(fh) != 0 || write_failed) return -1;
   return faces;
 }
 
@@ -440,7 +446,12 @@ long ply_write_corr_grid(const char *path, const int32_t *word, long h,
     cw.ply_face(a, b, c);
   });
   cw.flush();
-  if (std::fclose(fh) != 0) return -1;
+  // ChunkWriter::flush() discards fwrite's return and the file is
+  // unbuffered, so fclose alone cannot see a mid-body short write (disk
+  // full / EIO): check ferror explicitly — a truncated mesh must not be
+  // reported as success.
+  const bool write_failed = std::ferror(fh) != 0;
+  if (std::fclose(fh) != 0 || write_failed) return -1;
   return faces;
 }
 

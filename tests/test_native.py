@@ -100,3 +100,17 @@ def test_format_obj_vertices_colored_long_lines(rng):
         np.testing.assert_array_equal(
             [float(x) for x in parts[4:7]], colors[i]
         )
+
+
+def test_ply_write_failure_raises(rng):
+    """A mid-body write error (ENOSPC via /dev/full) must surface as
+    OutputError, not a successful return with a truncated file."""
+    import os
+
+    if not os.path.exists("/dev/full"):
+        pytest.skip("/dev/full not available")
+    from cybervision_tpu.errors import OutputError
+
+    word = np.full((8, 8), 1 << 24, np.int32)  # all pixels valid
+    with pytest.raises(OutputError):
+        native.ply_write_corr_grid("/dev/full", word, (1.0, 1.0, 1.0))
