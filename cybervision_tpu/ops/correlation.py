@@ -91,6 +91,13 @@ def empty_state(h: int, w: int) -> CorrelationState:
 # Window statistics
 
 
+def _round_half_away(x: jnp.ndarray) -> jnp.ndarray:
+    """Rust f64::round semantics: halves round AWAY from zero (2.5 -> 3,
+    -2.5 -> -3). jnp.round is half-to-even and diverges on every exact
+    half — which the corridor math hits systematically (mod.rs:530-538)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
 def _box11(x: jnp.ndarray) -> jnp.ndarray:
     """11x11 window sum ('same' size; borders are partial and masked by
     callers). Two separable passes of 11 shifted adds."""
@@ -269,7 +276,7 @@ def first_pass(
         a1_b, pv_b, vert_b, coeff_b, add_b = args
 
         def cand_tile(carry, tile):
-            bv, bxc, byc = carry
+            bv, brank, bxc, byc = carry
             a2_b, qy_b, qx_b, qok_b = tile
             corr = jax.lax.dot_general(
                 a1_b,
@@ -291,23 +298,36 @@ def first_pass(
             ok = on_band & in_range & qok_b[None, :] & pv_b[:, None]
             ok &= corr >= threshold
             corr = jnp.where(ok, corr, -jnp.inf)
-            best = jnp.argmax(corr, axis=1)
-            val = jnp.take_along_axis(corr, best[:, None], axis=1)[:, 0]
-            # Strictly-greater keeps the FIRST global maximum across
-            # tiles, matching a flat argmax over the whole candidate set.
-            better = val > bv
+            val = jnp.max(corr, axis=1)
+            # Equal-NCC ties resolve in the reference's WALK order — the
+            # corridor-offset loop is outer, corridor index inner
+            # (mod.rs:372-381, 457-458 `corr > best_corr` keeps the first)
+            # — so among tied candidates the smallest lateral offset wins,
+            # then the smallest corridor index. Encode that as a rank and
+            # keep the min rank among the tile's maxima.
+            dom_max = float(max(h2, w2))
+            key = jnp.where(
+                ok & (corr == val[:, None]),
+                ((off_coord - line) + cs) * dom_max + i_coord,
+                jnp.inf,
+            )
+            rank = jnp.min(key, axis=1)
+            best = jnp.argmin(key, axis=1)
+            better = (val > bv) | ((val == bv) & (rank < brank))
             bv = jnp.where(better, val, bv)
+            brank = jnp.where(better, rank, brank)
             bxc = jnp.where(better, qx_b.astype(jnp.int32)[best], bxc)
             byc = jnp.where(better, qy_b.astype(jnp.int32)[best], byc)
-            return (bv, bxc, byc), None
+            return (bv, brank, bxc, byc), None
 
         n_rows = a1_b.shape[0]
         init = (
             jnp.full((n_rows,), -jnp.inf, jnp.float32),
+            jnp.full((n_rows,), jnp.inf, jnp.float32),
             jnp.zeros((n_rows,), jnp.int32),
             jnp.zeros((n_rows,), jnp.int32),
         )
-        (bv, bxc, byc), _ = jax.lax.scan(
+        (bv, _, bxc, byc), _ = jax.lax.scan(
             cand_tile, init, (a2_t, q_y_t, q_x_t, q_ok_t)
         )
         return bv, bxc, byc
@@ -551,9 +571,14 @@ def _corridor_ranges(
 
     # Range bounds keep the reference's round(mid) anchor exactly
     # (mod.rs:530-538); the sweep's per-hypothesis idx_eval test enforces
-    # them regardless of where the anchor sits.
-    ref_center = jnp.round(mid)
-    length = jnp.round(min_range + stdev * extend_range)
+    # them regardless of where the anchor sits. Rust f64::round is
+    # half-AWAY-FROM-ZERO, not jnp.round's half-to-even — the difference
+    # is systematic, not rare: with locally-constant disparity the
+    # neighbor stdev is exactly 0 and the affine corridor length is
+    # round(min_range) = round(2.5), which must be 3 (half-even gives 2,
+    # silently shrinking every such corridor by a cell per side).
+    ref_center = _round_half_away(mid)
+    length = _round_half_away(min_range + stdev * extend_range)
     end_lim = jnp.where(vert, float(h2 - KS), float(w2 - KS))
     start = jnp.clip(ref_center - length, float(KS), end_lim)
     end = jnp.clip(ref_center + length, start, end_lim)

@@ -34,6 +34,7 @@ import numpy as np
 
 from cybervision_tpu.config import ProjectionMode, RansacConfig
 from cybervision_tpu.errors import RansacError
+from cybervision_tpu.utils.buckets import pow2_bucket
 
 # ---------------------------------------------------------------------------
 # Residual
@@ -516,12 +517,13 @@ def ransac_batch(
     mean_err = err_sum / jnp.maximum(count, 1)
 
     # Order: most matches, then lowest mean inlier error
-    # (fundamentalmatrix.rs:623-649).
-    score = count.astype(jnp.float32) - jnp.clip(
-        mean_err / jnp.maximum(threshold, 1e-20), 0.0, 0.99
-    )
-    k = min(top_k, score.shape[0])
-    _, top_i = jax.lax.top_k(score, k)
+    # (fundamentalmatrix.rs:623-649) — an exact lexicographic two-key
+    # sort. A single combined float score (count - err/threshold) loses
+    # the error tiebreak to rounding: at count ~5000 an f32 fraction has
+    # only ~2^-11 of resolution, so near-equal errors collapse and top_k
+    # can drop the lower-error hypothesis at the K boundary.
+    top_i = _lex_topk_indices(count, mean_err)
+    top_i = top_i[: min(top_k, top_i.shape[0])]
     return ff[top_i], count[top_i], mean_err[top_i]
 
 
@@ -611,14 +613,22 @@ def _pack_candidates(f_b, count_b, err_b):
     )
 
 
+def _lex_topk_indices(count, err):
+    """Indices sorted by (count descending, error ascending) — the
+    reference's Ord (fundamentalmatrix.rs:623-649) — via an exact
+    two-key lexicographic sort (no combined float score, no f64)."""
+    idx = jnp.arange(count.shape[0], dtype=jnp.int32)
+    _, _, order = jax.lax.sort(
+        (-count.astype(jnp.int32), err.astype(jnp.float32), idx), num_keys=2
+    )
+    return order
+
+
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def _merge_topk(fs, cs, es, threshold, top_k: int):
     """Cross-device top-K merge by the same score rule as ransac_batch."""
-    score = cs.astype(jnp.float32) - jnp.clip(
-        es / jnp.maximum(threshold, 1e-20), 0.0, 0.99
-    )
-    k = min(top_k, score.shape[0])
-    _, i = jax.lax.top_k(score, k)
+    i = _lex_topk_indices(cs, es)
+    i = i[: min(top_k, i.shape[0])]
     return fs[i], cs[i], es[i]
 
 
@@ -778,9 +788,7 @@ def find_fundamental_matrix(
     # is a fresh multi-program RANSAC compile (~1-3 min over the TPU
     # tunnel), so scenes whose match counts wobble pair to pair must
     # land on ONE bucket.
-    mb = 2048
-    while mb < m:
-        mb *= 4
+    mb = pow2_bucket(m, floor=2048, factor=4)
     mpad = np.zeros((mb, 4), matches.dtype)
     mpad[:m] = matches
     p1 = jnp.asarray(mpad[:, 0:2], jnp.float32)

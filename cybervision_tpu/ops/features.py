@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cybervision_tpu.config import OrbConfig
+from cybervision_tpu.utils.buckets import pow2_bucket
 
 # FAST circle of 16 offsets, radius 3, clockwise from 12 o'clock
 # (orb.rs:11-28). Each entry is (dx, dy).
@@ -141,17 +142,21 @@ def non_max_suppression(score: jnp.ndarray) -> jnp.ndarray:
     return (score >= 0) & (score > neighbor_max)
 
 
-def _separable_window_sum(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+def _separable_window_sum(
+    x: jnp.ndarray, taps: jnp.ndarray, taps_y: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Weighted window sum with a separable kernel, 'same' size (values
-    near borders are partial; border pixels are masked by callers)."""
-    k = taps.shape[0]
-    half = k // 2
+    near borders are partial; border pixels are masked by callers).
+    taps runs along axis 1 (x); taps_y (default: taps) along axis 0."""
+    if taps_y is None:
+        taps_y = taps
+    half = taps.shape[0] // 2
     out = jnp.zeros_like(x)
-    for i in range(k):
+    for i in range(taps.shape[0]):
         out = out + taps[i] * jnp.roll(x, half - i, axis=1)
     out2 = jnp.zeros_like(out)
-    for i in range(k):
-        out2 = out2 + taps[i] * jnp.roll(out, half - i, axis=0)
+    for i in range(taps_y.shape[0]):
+        out2 = out2 + taps_y[i] * jnp.roll(out, half - i, axis=0)
     return out2
 
 
@@ -239,18 +244,9 @@ def orientations(
     ramp = jnp.arange(-half, half + 1, dtype=jnp.float32)
     ones = jnp.ones_like(ramp)
 
-    def sep(img, tx, ty):
-        out = jnp.zeros_like(img)
-        for i in range(len(tx)):
-            out = out + tx[i] * jnp.roll(img, half - i, axis=1)
-        out2 = jnp.zeros_like(out)
-        for i in range(len(ty)):
-            out2 = out2 + ty[i] * jnp.roll(out, half - i, axis=0)
-        return out2
-
-    m00_map = sep(val, ones, ones)
-    m10_map = sep(val, ramp, ones)
-    m01_map = sep(val, ones, ramp)
+    m00_map = _separable_window_sum(val, ones, ones)
+    m10_map = _separable_window_sum(val, ramp, ones)
+    m01_map = _separable_window_sum(val, ones, ramp)
 
     pxc = jnp.clip(pts[:, 0], 0, w - 1)
     pyc = jnp.clip(pts[:, 1], 0, h - 1)
@@ -536,7 +532,7 @@ def extract_keypoints_pyramid_multi(
         # unchanged (invalid slots are masked in _describe).
         sh, sw = scaled.shape[1], scaled.shape[2]
         bound = ((sh + 1) // 2) * ((sw + 1) // 2)
-        k = _k_bucket(min(bound, cfg.max_keypoints), cfg.max_keypoints)
+        k = pow2_bucket(min(bound, cfg.max_keypoints), cap=cfg.max_keypoints)
         packed = _describe_batch(scaled, pts, counts, cfg, k)
         # Truncating map back to full-res on device
         # (reconstruction.rs:433-437).
@@ -561,13 +557,6 @@ def extract_keypoints_pyramid_multi(
         desc = arr[valid, 2:10].view(np.uint32)
         results.append((pts, desc))
     return results
-
-
-def _k_bucket(count: int, max_keypoints: int) -> int:
-    k = 1024
-    while k < count and k < max_keypoints:
-        k *= 2
-    return min(k, max_keypoints)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))

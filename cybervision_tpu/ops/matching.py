@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cybervision_tpu.utils.buckets import pow2_bucket
+
 _BITS = 256
 _WORDS = 8
 
@@ -55,6 +57,10 @@ def match_descriptors(
     # Invalid rows of set 2 get +inf-like distance via masking after matmul.
     bad2 = ~valid2
 
+    # Never pad ABOVE n1: the common 1024/2048 descriptor buckets would
+    # otherwise run the matmul on 3x-4x dead rows just to fill one chunk.
+    # n1 is static at trace time, so the per-shape program is unchanged.
+    chunk = min(chunk, max(n1, 1))
     pad = (-n1) % chunk
     a_p = jnp.pad(a, ((0, pad), (0, 0)))
 
@@ -134,15 +140,6 @@ def _combine_shard_mins(gidx, dist, valid1, threshold):
     return best_idx, best_dist, matched
 
 
-def _len_bucket(n: int, floor: int = 1024) -> int:
-    """Smallest power-of-two >= n (min `floor`) — the static shape the
-    device programs compile against."""
-    b = floor
-    while b < n:
-        b *= 2
-    return b
-
-
 def _pad_rows(arr: np.ndarray, rows: int) -> np.ndarray:
     if len(arr) == rows:
         return arr
@@ -176,8 +173,8 @@ def match_keypoints(
     # tail rows so the (N1, N2) matmul program comes out of the compile
     # cache for any input pair instead of recompiling per exact count
     # (~45 s/program through the TPU tunnel).
-    b1 = _len_bucket(len(desc1))
-    b2 = _len_bucket(len(desc2))
+    b1 = pow2_bucket(len(desc1))
+    b2 = pow2_bucket(len(desc2))
     d1 = jnp.asarray(_pad_rows(desc1, b1))
     d2 = jnp.asarray(_pad_rows(desc2, b2))
     v1 = jnp.asarray(np.arange(b1) < len(desc1))

@@ -52,7 +52,6 @@ Deviations (documented):
 from __future__ import annotations
 
 import numpy as np
-from scipy import ndimage
 
 from cybervision_tpu.config import ReconstructionConfig, TriangulationConfig
 from cybervision_tpu.ops import sfm_device
@@ -179,7 +178,10 @@ def find_projection_matrix(
         pts3, ok = triangulate_tracks_np(tracks, [p1, k2 @ p2])
         in_front = ok & (pts3[:, 2] > 0) & cam2.point_in_front(pts3)
         count = int(in_front.sum())
-        if best is None or count > best[1]:
+        # >= : Iterator::max_by keeps the LAST of equal maxima
+        # (triangulation.rs:992), so tied cheirality counts must select
+        # the later (R, t) candidate or the bootstrap pair diverges.
+        if best is None or count >= best[1]:
             best = (p2, count)
     if best is None:
         return None
@@ -473,23 +475,44 @@ def extend_tracks(
     has1 = store.visible(image1_i)
     no2 = store.pts[:, image2_i, 0] == MISSING
     cand = np.nonzero(has1)[0]
-    if len(cand) and valid.any():
-        # Nearest valid correlated point for every pixel at once.
-        dist, (iy, ix) = ndimage.distance_transform_edt(
-            ~valid, return_indices=True
-        )
-        px = np.clip(store.pts[cand, image1_i, 0], 0, w - 1)
-        py = np.clip(store.pts[cand, image1_i, 1], 0, h - 1)
-        d = dist[py, px]
-        ok = d < search_radius  # box-window parity at small radii
-        src_y = iy[py, px][ok]
-        src_x = ix[py, px][ok]
-        tgt = correlated[src_y, src_x, :2]
-        rows = cand[ok]
-        add = no2[rows]
-        store.pts[rows[add], image2_i, 0] = tgt[add, 0]
-        store.pts[rows[add], image2_i, 1] = tgt[add, 1]
-        used[src_y, src_x] = True
+    r = int(search_radius)
+    if len(cand) and valid.any() and r > 0:
+        # The reference scans the ASYMMETRIC Chebyshev box
+        # [p-r, p+r) x [p-r, p+r) row-major and keeps the first valid
+        # cell of minimum squared euclidean distance, with NO distance
+        # cap (triangulation.rs:1362-1383: `distance < min_distance`
+        # keeps the first minimum in y-then-x scan order) — box-corner
+        # cells at euclidean distance >= r still attach. Vectorized as a
+        # per-track window gather in that exact scan order so
+        # np.argmin's first-minimum rule reproduces the tie-break.
+        offs_y, offs_x = np.mgrid[-r:r, -r:r]
+        offs_y = offs_y.ravel()
+        offs_x = offs_x.ravel()
+        d2 = offs_y.astype(np.int64) ** 2 + offs_x.astype(np.int64) ** 2
+        big = np.int64(1) << 62
+        k = len(d2)
+        chunk = max(1, (1 << 24) // k)
+        for lo in range(0, len(cand), chunk):
+            rows = cand[lo : lo + chunk]
+            px = store.pts[rows, image1_i, 0].astype(np.int64)
+            py = store.pts[rows, image1_i, 1].astype(np.int64)
+            yy = py[:, None] + offs_y[None, :]
+            xx = px[:, None] + offs_x[None, :]
+            inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            v = np.zeros(inb.shape, bool)
+            v[inb] = valid[yy[inb], xx[inb]]
+            key = np.where(v, d2[None, :], big)
+            j = np.argmin(key, axis=1)
+            ar = np.arange(len(rows))
+            found = key[ar, j] < big
+            src_y = yy[ar, j][found]
+            src_x = xx[ar, j][found]
+            tgt = correlated[src_y, src_x, :2]
+            frows = rows[found]
+            add = no2[frows]
+            store.pts[frows[add], image2_i, 0] = tgt[add, 0]
+            store.pts[frows[add], image2_i, 1] = tgt[add, 1]
+            used[src_y, src_x] = True
 
     rest = valid & ~used
     ys, xs = np.nonzero(rest)

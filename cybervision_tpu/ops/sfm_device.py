@@ -29,17 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cybervision_tpu.utils.buckets import pow2_bucket
+
 # Below this many tracks the host eigh wins (device dispatch over the TPU
 # tunnel costs ~30 ms; numpy eigh on 32k 4x4s is ~60 ms). Tests lower it
 # to exercise the device path on small inputs.
 DEVICE_DLT_MIN_TRACKS = 32_768
-
-
-def _bucket(n: int, lo: int = 1024) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
 
 
 # ---------------------------------------------------------------------------
@@ -112,7 +107,7 @@ def p3p_score(
 
     b = len(proj)
     t = len(pts3d)
-    tb = _bucket(max(t, 1))
+    tb = pow2_bucket(max(t, 1))
     pts3d_p = np.zeros((tb, 3), np.float32)
     pts3d_p[:t] = pts3d
     pts2d_p = np.zeros((tb, 2), np.float32)
@@ -198,7 +193,7 @@ def dlt_nullspaces(ata: np.ndarray) -> np.ndarray:
     machine precision wherever the two smallest eigenvalues separate.
     """
     t = len(ata)
-    tb = _bucket(max(t, 1))
+    tb = pow2_bucket(max(t, 1))
     pad = np.broadcast_to(np.eye(4), (tb - t, 4, 4))
     ata_p = np.concatenate([ata, pad]) if tb > t else ata
     h32 = np.asarray(

@@ -1,0 +1,24 @@
+"""Shared shape-bucketing policy for device programs.
+
+Data-dependent counts (keypoints, descriptors, matches, tracks) are
+padded up to geometric buckets so every jitted program compiles once per
+bucket instead of once per exact count (~45 s/program over the TPU
+tunnel). This is THE single copy of that policy — the bucket grid is
+compile-cache-critical, so every op module must draw from the same one.
+"""
+
+from __future__ import annotations
+
+
+def pow2_bucket(
+    n: int, floor: int = 1024, factor: int = 2, cap: int | None = None
+) -> int:
+    """Smallest floor * factor^k >= n, at least `floor`, at most `cap`
+    (when given). factor=4 coarsens the grid for programs whose compiles
+    are expensive enough that per-pair count wobble must land on one
+    bucket (e.g. the multi-program RANSAC sweep)."""
+    b = floor
+    limit = n if cap is None else min(n, cap)
+    while b < limit:
+        b *= factor
+    return b if cap is None else min(b, cap)

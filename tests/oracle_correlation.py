@@ -4,11 +4,21 @@ loops with vectorized inner NCC — encodes reference semantics exactly,
 intended only for tiny test images.
 """
 
+import math
+
 import numpy as np
 
 KS = 5
 KW = 11
 KPC = 121
+
+
+def round_half_away(v: float) -> float:
+    """Rust f64::round: halves go AWAY from zero (2.5 -> 3, -2.5 -> -3).
+    Python's round() is half-to-even and diverges on every exact half,
+    which the corridor math hits systematically (stdev == 0 corridors
+    have length round(2.5))."""
+    return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
 
 
 def point_data(img, x, y):
@@ -81,8 +91,8 @@ def estimate_search_range(
     positions = np.array(positions)
     mid = positions.mean()
     stdev = np.sqrt(((positions - mid) ** 2).mean())
-    center = int(round(mid))
-    length = int(round(min_range + stdev * extend_range))
+    center = int(round_half_away(mid))
+    length = int(round_half_away(min_range + stdev * extend_range))
     start = int(np.clip(max(center - length, 0), corridor_start, corridor_end))
     end = int(np.clip(center + length, start, corridor_end))
     return start, end
