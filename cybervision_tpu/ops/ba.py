@@ -170,16 +170,23 @@ def bundle_adjust(
             k_stack, r_stack, t_stack, points[sl], mask[sl]
         )
 
-    for it in range(cfg.bundle_adjustment_max_iterations):
-        # Streamed Schur assembly: only an O(chunk * m) jacobian block is
-        # live at a time (reference chunks 10k tracks,
-        # triangulation.rs:1690).
+    # Everything except V^-1/Y/S/e is mu-independent: gradients, the U
+    # diagonal, V, and W depend only on (r, t, points, res). Caching them
+    # per accepted iterate makes a REJECTED LM step (only mu changed)
+    # skip the jacobian recomputation entirely, and lets back-substitution
+    # reuse W instead of rebuilding the jacobians a second time per
+    # iteration. W is the big block (t*m*6*3 f64); cache it only while it
+    # fits a fixed budget, else stream it per chunk like the reference
+    # (triangulation.rs:1690 recomputes per chunk unconditionally).
+    cache_w = t * m * 18 * 8 <= 512 * 1024 * 1024
+    cache = None
+
+    def mu_independent():
         g_a = np.zeros((m, 6))
         g_b = np.zeros((t, 3))
-        v_inv = np.zeros((t, 3, 3))
-        s = np.zeros((m, 6, m, 6))
-        e = np.zeros((m, 6))
         s_diag = np.zeros((m, 6, 6))
+        v = np.zeros((t, 3, 3))
+        w_chunks = [] if cache_w else None
         for c0 in range(0, t, chunk):
             sl = slice(c0, min(c0 + chunk, t))
             a, b = jac_chunk(sl)
@@ -187,16 +194,38 @@ def bundle_adjust(
             g_a += np.einsum("tmri,tmr->mi", a, res_c)
             g_b[sl] = np.einsum("tmri,tmr->ti", b, res_c)
             s_diag += np.einsum("tmri,tmrj->mij", a, a)  # U accumulation
-            v_c = np.einsum("tmri,tmrj->tij", b, b)  # (c, 3, 3)
-            w_c = np.einsum("tmri,tmrj->tmij", a, b)  # (c, m, 6, 3)
-            v_inv[sl] = np.linalg.pinv(v_c + mu * np.eye(3)[None])
-            y_c = np.einsum("tmij,tjk->tmik", w_c, v_inv[sl])
-            s -= np.einsum("tmij,tnkj->mink", y_c, w_c)
-            e -= np.einsum("tmij,tj->mi", y_c, g_b[sl])
+            v[sl] = np.einsum("tmri,tmrj->tij", b, b)  # (c, 3, 3)
+            if cache_w:
+                w_chunks.append(np.einsum("tmri,tmrj->tmij", a, b))
+        return {"g_a": g_a, "g_b": g_b, "s_diag": s_diag, "v": v,
+                "w": w_chunks}
+
+    def w_for(ci, sl):
+        if cache["w"] is not None:
+            return cache["w"][ci]
+        a, b = jac_chunk(sl)
+        return np.einsum("tmri,tmrj->tmij", a, b)  # (c, m, 6, 3)
+
+    for it in range(cfg.bundle_adjustment_max_iterations):
+        if cache is None:
+            cache = mu_independent()
+        g_a, g_b, s_diag = cache["g_a"], cache["g_b"], cache["s_diag"]
 
         if max(np.abs(g_a).max(), np.abs(g_b).max(), 0.0) <= 1e-12:
             found = True
             break
+
+        # mu-dependent Schur assembly, streamed over the same chunks.
+        v_inv = np.zeros((t, 3, 3))
+        s = np.zeros((m, 6, m, 6))
+        e = np.zeros((m, 6))
+        for ci, c0 in enumerate(range(0, t, chunk)):
+            sl = slice(c0, min(c0 + chunk, t))
+            w_c = w_for(ci, sl)
+            v_inv[sl] = np.linalg.pinv(cache["v"][sl] + mu * np.eye(3)[None])
+            y_c = np.einsum("tmij,tjk->tmik", w_c, v_inv[sl])
+            s -= np.einsum("tmij,tnkj->mink", y_c, w_c)
+            e -= np.einsum("tmij,tj->mi", y_c, g_b[sl])
 
         s[np.arange(m), :, np.arange(m), :] += s_diag + mu * np.eye(6)[None]
         e += g_a
@@ -208,13 +237,11 @@ def bundle_adjust(
         except np.linalg.LinAlgError:
             return None
 
-        # Back-substitution, streamed over the same chunks (w is
-        # recomputed rather than kept resident).
+        # Back-substitution, streamed over the same chunks.
         delta_b = np.zeros((t, 3))
-        for c0 in range(0, t, chunk):
+        for ci, c0 in enumerate(range(0, t, chunk)):
             sl = slice(c0, min(c0 + chunk, t))
-            a, b = jac_chunk(sl)
-            w_c = np.einsum("tmri,tmrj->tmij", a, b)
+            w_c = w_for(ci, sl)
             delta_b[sl] = np.einsum(
                 "tij,tj->ti",
                 v_inv[sl],
@@ -244,6 +271,7 @@ def bundle_adjust(
 
         if rho > 0:
             r_stack, t_stack, points, res = new_r, new_t, new_pts, new_res
+            cache = None  # params changed; jacobian-derived blocks stale
             if np.sqrt(rn2) - np.sqrt(nn2) < 0.0:
                 found = True
                 break

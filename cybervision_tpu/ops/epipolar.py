@@ -646,13 +646,31 @@ def _f_from_params7(p):
     )
 
 
+@jax.jit
+def _lm_residuals(params, q1, q2, mask):
+    """Masked Sampson residuals — padded rows (real duplicated points,
+    mask 0) contribute exactly 0 to r, J, and every norm."""
+    return jnp.where(mask, sampson_error(_f_from_params7(params), q1, q2), 0.0)
+
+
+@jax.jit
+def _lm_res_jac(params, q1, q2, mask):
+    return (
+        _lm_residuals(params, q1, q2, mask),
+        jax.jacfwd(_lm_residuals)(params, q1, q2, mask),
+    )
+
+
 def _lm_refine_f(f0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                  max_iters: int = 1000) -> np.ndarray | None:
     """Levenberg-Marquardt over the 7-parameter det-0 parametrization,
     minimizing Sampson residuals over the inliers
     (fundamentalmatrix.rs:391-426,515-621). Runs in f64 on the CPU backend
     (TPUs have no native f64); jacobian via jax.jacfwd instead of the
-    reference's hand-derived symbolic formula.
+    reference's hand-derived symbolic formula. Inlier sets are padded to
+    pow2 buckets with a zero mask (padding repeats row 0, so no
+    degenerate math) — the residual/jacobian programs are module-level
+    jits that compile once per bucket, not once per call.
 
     Documented deviation: the step is the LM DESCENT params - delta for
     delta = (J'J + mu I)^-1 J'r. The reference applies params + delta
@@ -668,14 +686,19 @@ def _lm_refine_f(f0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
             [f0[0, 0], f0[0, 1], f0[0, 2], f0[1, 0], f0[1, 1], f0[1, 2], f0[2, 0]],
             dtype=jnp.float64,
         )
-        q1 = jnp.asarray(p1, dtype=jnp.float64)
-        q2 = jnp.asarray(p2, dtype=jnp.float64)
+        n = len(p1)
+        nb = pow2_bucket(n, floor=256)
+        pad_rows = np.repeat(p1[0:1], nb - n, axis=0)
+        q1 = jnp.asarray(np.concatenate([p1, pad_rows]), dtype=jnp.float64)
+        pad_rows2 = np.repeat(p2[0:1], nb - n, axis=0)
+        q2 = jnp.asarray(np.concatenate([p2, pad_rows2]), dtype=jnp.float64)
+        mask = jnp.asarray(np.arange(nb) < n)
 
-        def residuals(p):
-            return sampson_error(_f_from_params7(p), q1, q2)
+        def res_fn(p):
+            return _lm_residuals(p, q1, q2, mask)
 
-        jac_fn = jax.jit(jax.jacfwd(residuals))
-        res_fn = jax.jit(residuals)
+        def jac_fn(p):
+            return _lm_res_jac(p, q1, q2, mask)[1]
 
         def rank_checked(p):
             f = np.asarray(_f_from_params7(jnp.asarray(p)), dtype=np.float64)
@@ -685,8 +708,8 @@ def _lm_refine_f(f0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                 return None
             return f
 
-        r = np.asarray(res_fn(params))
-        j = np.asarray(jac_fn(params))
+        r_d, j_d = _lm_res_jac(params, q1, q2, mask)
+        r, j = np.asarray(r_d), np.asarray(j_d)
         g = j.T @ r
         if np.max(np.abs(g)) <= 1e-12:
             return rank_checked(params)
