@@ -305,6 +305,7 @@ def brief_descriptors(
     pts: jnp.ndarray,
     angles: jnp.ndarray,
     cfg: OrbConfig,
+    use_gather: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rotated-BRIEF 256-bit descriptors packed as (K, 8) uint32
     (orb.rs:346-405).
@@ -319,6 +320,14 @@ def brief_descriptors(
     each pair's second tap and -1 at its first — a (K, 2025) x (2025,
     256) matmul per bin on the systolic array; a 30-step scan selects
     each keypoint's bin.
+
+    use_gather replaces the 30-bin matmul scan with a per-keypoint
+    take_along_axis of each pair's two taps — bit t is (v1 - v0 > 0)
+    either way, so results are IDENTICAL (the matmul's +1/-1 scatter
+    cancels exactly when a pair's taps coincide, as does v1 - v0). The
+    matmul does N_ANGLE_BINS times the flops but rides the MXU; the
+    gather does 30x less work and wins where gathers are cheap
+    (XLA:CPU: 1.6 s -> ~0.1 s per 4096-keypoint image).
 
     Documented deviations from the reference: discrete rotation bins (see
     above), and the validity margin is the patch extent (21) + blur band
@@ -351,28 +360,36 @@ def brief_descriptors(
     bin_width = 2.0 * jnp.pi / N_ANGLE_BINS
     bins = jnp.round(angles / bin_width).astype(jnp.int32) % N_ANGLE_BINS
 
-    def body(acc, args):
-        flat_b, b = args
-        d_b = (
-            jnp.zeros((pw * pw, nbits), jnp.float32)
-            .at[flat_b[1], jnp.arange(nbits)]
-            .add(1.0)
-            .at[flat_b[0], jnp.arange(nbits)]
-            .add(-1.0)
+    if use_gather:
+        idx = jnp.take(flat, bins, axis=0)  # (K, 2, 256)
+        v = jnp.take_along_axis(
+            patches, idx.reshape(idx.shape[0], 2 * nbits), axis=1
         )
-        d = jax.lax.dot_general(
-            patches,
-            d_b,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.where((bins == b)[:, None], d, acc), None
+        acc = v[:, nbits:] - v[:, :nbits]  # v1 - v0 per pair
+    else:
 
-    acc, _ = jax.lax.scan(
-        body,
-        jnp.zeros((patches.shape[0], nbits), jnp.float32),
-        (flat, jnp.arange(N_ANGLE_BINS)),
-    )
+        def body(acc, args):
+            flat_b, b = args
+            d_b = (
+                jnp.zeros((pw * pw, nbits), jnp.float32)
+                .at[flat_b[1], jnp.arange(nbits)]
+                .add(1.0)
+                .at[flat_b[0], jnp.arange(nbits)]
+                .add(-1.0)
+            )
+            d = jax.lax.dot_general(
+                patches,
+                d_b,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.where((bins == b)[:, None], d, acc), None
+
+        acc, _ = jax.lax.scan(
+            body,
+            jnp.zeros((patches.shape[0], nbits), jnp.float32),
+            (flat, jnp.arange(N_ANGLE_BINS)),
+        )
     tau = (acc > 0).astype(jnp.uint32)  # v0 < v1  <=>  v1 - v0 > 0
 
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
@@ -414,14 +431,17 @@ def _detect(img: jnp.ndarray, cfg: OrbConfig):
     return pts, jnp.sum(jnp.isfinite(top_vals))
 
 
-def _describe(img: jnp.ndarray, pts: jnp.ndarray, count, cfg: OrbConfig):
+def _describe(
+    img: jnp.ndarray, pts: jnp.ndarray, count, cfg: OrbConfig,
+    use_gather: bool = False,
+):
     """Description phase on the first len(pts) detections: blur +
     orientation + binned-BRIEF. Returns packed (K, 11) int32 rows
     (x, y, desc[8], valid)."""
     img = img.astype(jnp.int32)
     blurred, blurred_valid = gaussian_blur(img, cfg)
     angles, angle_valid = orientations(blurred, blurred_valid, pts, cfg)
-    desc, desc_valid = brief_descriptors(blurred, pts, angles, cfg)
+    desc, desc_valid = brief_descriptors(blurred, pts, angles, cfg, use_gather)
     valid = (
         (jnp.arange(len(pts)) < count) & angle_valid & desc_valid
     )
@@ -464,14 +484,24 @@ def _detect_batch(imgs: jnp.ndarray, cfg: OrbConfig):
     return jax.vmap(lambda im: _detect(im, cfg))(imgs)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "k"))
-def _describe_batch(imgs, pts, counts, cfg: OrbConfig, k: int):
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "use_gather"))
+def _describe_batch(
+    imgs, pts, counts, cfg: OrbConfig, k: int, use_gather: bool = False
+):
     """Batched description of the top-k detections per image — k is the
     count-derived static bucket, so coarse pyramid scales (a few thousand
     corners) don't pay the full max_keypoints patch/matmul cost."""
     return jax.vmap(
-        lambda im, p, c: _describe(im, p[:k], c, cfg)
+        lambda im, p, c: _describe(im, p[:k], c, cfg, use_gather)
     )(imgs, pts, counts)
+
+
+def _use_brief_gather() -> bool:
+    """Formulation pick (see brief_descriptors): MXU matmul on TPU,
+    30x-fewer-flops gather where there's no MXU to feed."""
+    from cybervision_tpu.parallel import active_platform
+
+    return active_platform() == "cpu"
 
 
 def extract_keypoints_pyramid(source_img: np.ndarray, cfg: OrbConfig = OrbConfig()):
@@ -520,6 +550,9 @@ def extract_keypoints_pyramid_multi(
         pts, counts = _detect_batch(scaled, cfg)
         detected.append((scale, idxs, scaled, pts, counts))
 
+    from cybervision_tpu.parallel import active_platform
+
+    sync_counts = active_platform() == "cpu"
     pending = [[] for _ in images]  # per image: packed device arrays
     for scale, idxs, scaled, pts, counts in detected:
         # Describe-bucket from the static NMS density cap instead of the
@@ -530,10 +563,18 @@ def extract_keypoints_pyramid_multi(
         # with zero round trips before the single final fetch. k only
         # ever lands above the counts-derived bucket, so results are
         # unchanged (invalid slots are masked in _describe).
+        #
+        # On the CPU backend a counts sync is free (no tunnel), while the
+        # density bound typically 3x-oversizes the per-bin BRIEF matmul
+        # (the dominant describe cost) — size from measured counts there.
         sh, sw = scaled.shape[1], scaled.shape[2]
         bound = ((sh + 1) // 2) * ((sw + 1) // 2)
+        if sync_counts:
+            bound = min(bound, int(np.max(np.asarray(counts))))
         k = pow2_bucket(min(bound, cfg.max_keypoints), cap=cfg.max_keypoints)
-        packed = _describe_batch(scaled, pts, counts, cfg, k)
+        packed = _describe_batch(
+            scaled, pts, counts, cfg, k, use_gather=_use_brief_gather()
+        )
         # Truncating map back to full-res on device
         # (reconstruction.rs:433-437).
         packed = _to_fullres(packed, scale)

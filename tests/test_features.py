@@ -155,3 +155,24 @@ def test_descriptor_rotation_binning(rng):
     d = np.asarray(desc)
     np.testing.assert_array_equal(d[0], d[1])  # same bin
     assert (d[0] != d[2]).any()  # neighboring bin rotates the pattern
+
+
+def test_brief_gather_matches_matmul(rng):
+    """The gather and MXU-matmul BRIEF formulations are bit-identical
+    (brief_descriptors docstring: bit t is v1 - v0 > 0 either way,
+    including the coinciding-taps cancellation)."""
+    cfg = OrbConfig()
+    img = rng.randint(0, 256, (96, 128)).astype(np.uint8)
+    blurred, _ = features.gaussian_blur(jnp.asarray(img, dtype=jnp.int32), cfg)
+    pts = jnp.asarray(
+        rng.randint(0, 90, (64, 2)), dtype=jnp.int32
+    )
+    angles = jnp.asarray(rng.uniform(-np.pi, np.pi, 64), jnp.float32)
+    d_mm, v_mm = features.brief_descriptors(
+        blurred, pts, angles, cfg, use_gather=False
+    )
+    d_g, v_g = features.brief_descriptors(
+        blurred, pts, angles, cfg, use_gather=True
+    )
+    np.testing.assert_array_equal(np.asarray(d_mm), np.asarray(d_g))
+    np.testing.assert_array_equal(np.asarray(v_mm), np.asarray(v_g))
