@@ -246,11 +246,14 @@ def main():
     )
 
     if cpu_fallback:
-        # Liveness record, not the headline: one 512^2 PLY run on the
-        # CPU backend (warm-free; ~2-3 min), honestly labeled. The TPU
-        # metric is unmeasurable with the tunnel down.
+        # Liveness record, not the headline: a 512^2 PLY run on the CPU
+        # backend, honestly labeled. One warm-up run first — without it
+        # a cold compile cache puts minutes of XLA:CPU compile time into
+        # the recorded number whenever kernel code changed since the
+        # last run. The TPU metric is unmeasurable with the tunnel down.
         with tempfile.TemporaryDirectory() as td:
             p1, p2 = save_pair(td, 512, 512)
+            warm_s = run([p1, p2], os.path.join(td, "warm.ply"), cfg_ply)
             ply_s = run([p1, p2], os.path.join(td, "out.ply"), cfg_ply)
         print(json.dumps({
             "metric": "e2e_512x512_sem_pair_to_ply_mesh_seconds_CPU_FALLBACK",
@@ -259,6 +262,7 @@ def main():
             "vs_baseline": 0.0,
             "extra": {
                 "backend": "cpu-fallback (TPU tunnel unreachable)",
+                "cold_seconds": round(warm_s, 3),
             },
         }))
         return 0
