@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cybervision_tpu.utils.buckets import pow2_bucket
+from cybervision_tpu.utils.buckets import pow2_bucket, step_bucket
 
 _BITS = 256
 _WORDS = 8
@@ -36,7 +36,7 @@ def _unpack_pm1(desc: jnp.ndarray) -> jnp.ndarray:
     return (bits.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "use_f32"))
 def match_descriptors(
     desc1: jnp.ndarray,
     valid1: jnp.ndarray,
@@ -44,16 +44,25 @@ def match_descriptors(
     valid2: jnp.ndarray,
     threshold: int,
     chunk: int = 4096,
+    use_f32: bool = False,
 ):
     """Best match in set 2 for each descriptor in set 1.
 
     Returns (best_idx (N1,) int32, best_dist (N1,) int32, matched (N1,) bool).
     Ties resolve to the lowest index, like the reference's min_by over the
     iteration order (pointmatching.rs:61-71).
+
+    use_f32 runs the distance matmul in f32 — EXACT for +-1 vectors (every
+    product is +-1 and |sum| <= 256, far inside f32's 2^24 integer range)
+    and ~3x faster on XLA:CPU, whose int8 dot path is a scalar loop while
+    f32 hits the threaded SGEMM. The MXU wants the int8 form.
     """
     n1 = desc1.shape[0]
     a = _unpack_pm1(desc1)
     b = _unpack_pm1(desc2)
+    if use_f32:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
     # Invalid rows of set 2 get +inf-like distance via masking after matmul.
     bad2 = ~valid2
 
@@ -69,8 +78,9 @@ def match_descriptors(
             a_c,
             b.T,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=jnp.float32 if use_f32 else jnp.int32,
         )
+        dot = dot.astype(jnp.int32) if use_f32 else dot
         dist = (_BITS - dot) // 2  # exact Hamming distance
         dist = jnp.where(bad2[None, :], _BITS + 1, dist)
         best = jnp.argmin(dist, axis=1).astype(jnp.int32)
@@ -95,6 +105,7 @@ def match_descriptors_sharded(
     valid2: jnp.ndarray,
     threshold: int,
     chunk: int = 4096,
+    use_f32: bool = False,
 ):
     """match_descriptors with the image-2 table sharded over the mesh.
 
@@ -122,7 +133,9 @@ def match_descriptors_sharded(
         out_specs=(P(axis), P(axis)),
     )
     def run(d1, v1, d2, v2):
-        idx, dist, _ = match_descriptors(d1, v1, d2, v2, threshold, chunk=chunk)
+        idx, dist, _ = match_descriptors(
+            d1, v1, d2, v2, threshold, chunk=chunk, use_f32=use_f32
+        )
         gidx = idx + jax.lax.axis_index(axis) * per
         return gidx[None], dist[None]
 
@@ -168,13 +181,19 @@ def match_keypoints(
     (pointmatching.rs:74), ready for RANSAC top-inlier sampling."""
     if len(pts1) == 0 or len(pts2) == 0:
         return np.zeros((0, 4), dtype=np.int64)
+    from cybervision_tpu.parallel import active_platform
+
+    on_cpu = active_platform() == "cpu"
     # Descriptor counts are data-dependent (pyramid corners under the
     # response cap); pad each set to a power-of-two bucket with masked
     # tail rows so the (N1, N2) matmul program comes out of the compile
     # cache for any input pair instead of recompiling per exact count
-    # (~45 s/program through the TPU tunnel).
-    b1 = pow2_bucket(len(desc1))
-    b2 = pow2_bucket(len(desc2))
+    # (~45 s/program through the TPU tunnel). On CPU, compiles are local
+    # and cheap — a finer 1024-step grid trims up to 4x of padded matmul
+    # work (both sides pad, so pow2's worst case squares).
+    bucket = step_bucket if on_cpu else pow2_bucket
+    b1 = bucket(len(desc1))
+    b2 = bucket(len(desc2))
     d1 = jnp.asarray(_pad_rows(desc1, b1))
     d2 = jnp.asarray(_pad_rows(desc2, b2))
     v1 = jnp.asarray(np.arange(b1) < len(desc1))
@@ -184,9 +203,11 @@ def match_keypoints(
 
     mesh = pipeline_mesh()
     if mesh is not None:
-        idx, dist, ok = match_descriptors_sharded(mesh, d1, v1, d2, v2, threshold)
+        idx, dist, ok = match_descriptors_sharded(
+            mesh, d1, v1, d2, v2, threshold, use_f32=on_cpu
+        )
     else:
-        idx, dist, ok = match_descriptors(d1, v1, d2, v2, threshold)
+        idx, dist, ok = match_descriptors(d1, v1, d2, v2, threshold, use_f32=on_cpu)
     # One packed fetch (three separate np.asarray's pay three ~30 ms
     # tunnel round trips).
     packed = np.asarray(_pack_match_result(idx, dist, ok))[: len(pts1)]

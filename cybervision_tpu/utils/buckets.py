@@ -22,3 +22,12 @@ def pow2_bucket(
     while b < limit:
         b *= factor
     return b if cap is None else min(b, cap)
+
+
+def step_bucket(n: int, step: int = 1024) -> int:
+    """Smallest multiple of `step` >= n (at least one step). A finer grid
+    than pow2_bucket — for the CPU backend, where compiles are local and
+    cheap, so trimming pad rows beats minimizing program count (a pow2
+    bucket wastes up to 2x rows; padding both sides of a matmul squares
+    that)."""
+    return max(step, ((n + step - 1) // step) * step)
