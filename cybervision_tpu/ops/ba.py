@@ -48,9 +48,9 @@ def _residual_np(k_stack, r_stack, t_stack, points, obs, mask):
     """(T, m, 2) reprojection residuals, 0 where unobserved."""
     rm = _rodrigues_batch(r_stack)  # (m, 3, 3)
     cam_pts = (
-        np.einsum("mij,tj->tmi", rm, points) + t_stack[None, :, :]
+        np.einsum("mij,tj->tmi", rm, points, optimize=True) + t_stack[None, :, :]
     )  # (T, m, 3)
-    proj = np.einsum("mij,tmj->tmi", k_stack, cam_pts)
+    proj = np.einsum("mij,tmj->tmi", k_stack, cam_pts, optimize=True)
     with np.errstate(all="ignore"):
         uv = proj[:, :, :2] / proj[:, :, 2:3]
     res = uv - obs
@@ -89,8 +89,8 @@ def _jacobians_np(k_stack, r_stack, t_stack, points, mask):
     """
     t_n, m = points.shape[0], len(r_stack)
     rm = _rodrigues_batch(r_stack)
-    cam_pts = np.einsum("mij,tj->tmi", rm, points) + t_stack[None]
-    proj = np.einsum("mij,tmj->tmi", k_stack, cam_pts)
+    cam_pts = np.einsum("mij,tj->tmi", rm, points, optimize=True) + t_stack[None]
+    proj = np.einsum("mij,tmj->tmi", k_stack, cam_pts, optimize=True)
     u, v, w = proj[:, :, 0], proj[:, :, 1], proj[:, :, 2]
     with np.errstate(all="ignore"):
         iw = 1.0 / w
@@ -100,7 +100,7 @@ def _jacobians_np(k_stack, r_stack, t_stack, points, mask):
         d_proj[:, :, 1, 1] = iw
         d_proj[:, :, 1, 2] = -v * iw * iw
     d_proj = np.where(mask[:, :, None, None] & np.isfinite(d_proj), d_proj, 0.0)
-    dk = np.einsum("tmij,mjk->tmik", d_proj, k_stack)  # (T, m, 2, 3)
+    dk = np.einsum("tmij,mjk->tmik", d_proj, k_stack, optimize=True)  # (T, m, 2, 3)
 
     # dR/dr_k X per camera: (m, 3(k), 3, 3) matrices.
     theta2 = np.maximum(np.einsum("mi,mi->m", r_stack, r_stack), 1e-24)
@@ -118,13 +118,40 @@ def _jacobians_np(k_stack, r_stack, t_stack, points, mask):
         d_rot[small, kidx] = _skew_batch(e_k[None])[0]  # lim r->0: [e_k]x
 
     # A columns 0..2: dk @ dR_k X; columns 3..5: dk (translation).
-    d_rx = np.einsum("mkij,tj->tmki", d_rot, points)  # (T, m, 3k, 3)
-    a_rot = np.einsum("tmij,tmkj->tmik", dk, d_rx)  # (T, m, 2, 3)
+    d_rx = np.einsum("mkij,tj->tmki", d_rot, points, optimize=True)  # (T, m, 3k, 3)
+    a_rot = np.einsum("tmij,tmkj->tmik", dk, d_rx, optimize=True)  # (T, m, 2, 3)
     a = np.concatenate([a_rot, dk], axis=3)  # (T, m, 2, 6)
-    b = np.einsum("tmij,mjk->tmik", dk, rm)  # (T, m, 2, 3)
+    b = np.einsum("tmij,mjk->tmik", dk, rm, optimize=True)  # (T, m, 2, 3)
     a = np.where(mask[:, :, None, None], a, 0.0)
     b = np.where(mask[:, :, None, None], b, 0.0)
     return a, b
+
+
+def _inv3_spd(v):
+    """Batched closed-form inverse of (T, 3, 3) SPD matrices (V + mu I is
+    symmetric positive definite for mu > 0) via the adjugate — numpy's
+    pinv runs a full SVD per matrix (~30x slower at these shapes).
+    Near-singular entries (numerically zero det despite the damping)
+    fall back to pinv."""
+    a, b, c = v[:, 0, 0], v[:, 0, 1], v[:, 0, 2]
+    d, e, f = v[:, 1, 1], v[:, 1, 2], v[:, 2, 2]
+    ca = d * f - e * e
+    cb = c * e - b * f
+    cc = b * e - c * d
+    det = a * ca + b * cb + c * cc
+    bad = ~(np.abs(det) > 1e-30)
+    inv_det = 1.0 / np.where(bad, 1.0, det)
+    out = np.empty_like(v)
+    out[:, 0, 0] = ca
+    out[:, 0, 1] = out[:, 1, 0] = cb
+    out[:, 0, 2] = out[:, 2, 0] = cc
+    out[:, 1, 1] = a * f - c * c
+    out[:, 1, 2] = out[:, 2, 1] = b * c - a * e
+    out[:, 2, 2] = a * d - b * b
+    out *= inv_det[:, None, None]
+    if bad.any():
+        out[bad] = np.linalg.pinv(v[bad])
+    return out
 
 
 def _skew_batch(v):
@@ -191,12 +218,12 @@ def bundle_adjust(
             sl = slice(c0, min(c0 + chunk, t))
             a, b = jac_chunk(sl)
             res_c = res[sl]
-            g_a += np.einsum("tmri,tmr->mi", a, res_c)
-            g_b[sl] = np.einsum("tmri,tmr->ti", b, res_c)
-            s_diag += np.einsum("tmri,tmrj->mij", a, a)  # U accumulation
-            v[sl] = np.einsum("tmri,tmrj->tij", b, b)  # (c, 3, 3)
+            g_a += np.einsum("tmri,tmr->mi", a, res_c, optimize=True)
+            g_b[sl] = np.einsum("tmri,tmr->ti", b, res_c, optimize=True)
+            s_diag += np.einsum("tmri,tmrj->mij", a, a, optimize=True)  # U accumulation
+            v[sl] = np.einsum("tmri,tmrj->tij", b, b, optimize=True)  # (c, 3, 3)
             if cache_w:
-                w_chunks.append(np.einsum("tmri,tmrj->tmij", a, b))
+                w_chunks.append(np.einsum("tmri,tmrj->tmij", a, b, optimize=True))
         return {"g_a": g_a, "g_b": g_b, "s_diag": s_diag, "v": v,
                 "w": w_chunks}
 
@@ -204,7 +231,7 @@ def bundle_adjust(
         if cache["w"] is not None:
             return cache["w"][ci]
         a, b = jac_chunk(sl)
-        return np.einsum("tmri,tmrj->tmij", a, b)  # (c, m, 6, 3)
+        return np.einsum("tmri,tmrj->tmij", a, b, optimize=True)  # (c, m, 6, 3)
 
     for it in range(cfg.bundle_adjustment_max_iterations):
         if cache is None:
@@ -222,10 +249,12 @@ def bundle_adjust(
         for ci, c0 in enumerate(range(0, t, chunk)):
             sl = slice(c0, min(c0 + chunk, t))
             w_c = w_for(ci, sl)
-            v_inv[sl] = np.linalg.pinv(cache["v"][sl] + mu * np.eye(3)[None])
-            y_c = np.einsum("tmij,tjk->tmik", w_c, v_inv[sl])
-            s -= np.einsum("tmij,tnkj->mink", y_c, w_c)
-            e -= np.einsum("tmij,tj->mi", y_c, g_b[sl])
+            v_inv[sl] = _inv3_spd(cache["v"][sl] + mu * np.eye(3)[None])
+            y_c = np.einsum(
+                "tmij,tjk->tmik", w_c, v_inv[sl], optimize=True
+            )
+            s -= np.einsum("tmij,tnkj->mink", y_c, w_c, optimize=True)
+            e -= np.einsum("tmij,tj->mi", y_c, g_b[sl], optimize=True)
 
         s[np.arange(m), :, np.arange(m), :] += s_diag + mu * np.eye(6)[None]
         e += g_a
@@ -245,7 +274,7 @@ def bundle_adjust(
             delta_b[sl] = np.einsum(
                 "tij,tj->ti",
                 v_inv[sl],
-                g_b[sl] - np.einsum("tmij,mi->tj", w_c, delta_a),
+                g_b[sl] - np.einsum("tmij,mi->tj", w_c, delta_a, optimize=True),
             )
 
         delta_norm = np.sqrt((delta_a**2).sum() + (delta_b**2).sum())
