@@ -510,20 +510,17 @@ def extract_keypoints_pyramid(source_img: np.ndarray, cfg: OrbConfig = OrbConfig
     return extract_keypoints_pyramid_multi([source_img], cfg)[0]
 
 
-def extract_keypoints_pyramid_multi(
+def extract_keypoints_pyramid_packed(
     images: list[np.ndarray], cfg: OrbConfig = OrbConfig()
-):
-    """Multi-scale extraction: run ORB at every pyramid scale and map
-    coordinates back to full resolution with truncating division
-    (reconstruction.rs:407-459).
-
-    All (image, scale) programs are dispatched asynchronously before any
-    result is fetched, hiding the device->host latency of one behind the
-    compute of the next.
-
-    Returns a list of (pts (N,2) int64 full-res, desc (N,8) uint32) numpy
-    pairs with invalid slots removed.
-    """
+) -> list[jnp.ndarray]:
+    """Device-resident multi-scale extraction: dispatches the whole ORB
+    pyramid (reconstruction.rs:407-459) and returns, per image, ONE
+    (K, 11) int32 DEVICE array of packed rows (x, y, desc[8 bitcast],
+    valid) concatenated over its pyramid scales — nothing is fetched to
+    the host. Feed the arrays straight into
+    matching.match_keypoints_packed to keep the sparse phase on-device
+    (the packed fetch + re-upload through the TPU tunnel costs more than
+    the matching matmul itself)."""
     from cybervision_tpu.config import pyramid_scales
     from cybervision_tpu.images import resize_lanczos
 
@@ -581,12 +578,32 @@ def extract_keypoints_pyramid_multi(
         for slot, idx in enumerate(idxs):
             pending[idx].append(packed[slot])
 
-    # Every image's every-scale packed rows, concatenated device-side and
-    # synced in ONE fetch; chunk shapes are static, so the host splits.
-    sizes = [sum(c.shape[0] for c in chunks) for chunks in pending]
-    flat = [c for chunks in pending for c in chunks]
+    return [
+        jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+        for chunks in pending
+    ]
+
+
+def extract_keypoints_pyramid_multi(
+    images: list[np.ndarray], cfg: OrbConfig = OrbConfig()
+):
+    """Multi-scale extraction: run ORB at every pyramid scale and map
+    coordinates back to full resolution with truncating division
+    (reconstruction.rs:407-459).
+
+    All (image, scale) programs are dispatched asynchronously before any
+    result is fetched, hiding the device->host latency of one behind the
+    compute of the next; everything syncs back in ONE fetch.
+
+    Returns a list of (pts (N,2) int64 full-res, desc (N,8) uint32) numpy
+    pairs with invalid slots removed.
+    """
+    per_image = extract_keypoints_pyramid_packed(images, cfg)
+    sizes = [p.shape[0] for p in per_image]
     arr_all = np.asarray(
-        jnp.concatenate(flat, axis=0) if len(flat) > 1 else flat[0]
+        jnp.concatenate(per_image, axis=0)
+        if len(per_image) > 1
+        else per_image[0]
     )
     results = []
     pos = 0

@@ -169,6 +169,67 @@ def _pack_match_result(idx, dist, ok):
     )
 
 
+@jax.jit
+def _match_packed_device(packed1: jnp.ndarray, packed2: jnp.ndarray, threshold):
+    """Device body of match_keypoints_packed: consumes the ORB (K, 11)
+    int32 packed rows (x, y, desc[8 bitcast], valid) directly — no
+    descriptor fetch/re-upload. Invalid slots are masked instead of
+    compacted; compaction preserves row order, so the argmin's
+    lowest-index tie rule picks the same keypoint either way
+    (pointmatching.rs:61-71), and masked rows can never win (distance
+    257 > the 256-bit maximum).
+
+    Returns (K1 + 1, 6) int32: rows (x1, y1, x2, y2, dist, ok) followed
+    by one trailer row carrying (n_valid1, n_valid2, 0, 0, 0, 0) so the
+    per-image feature counts ride the same single fetch."""
+    pts1 = packed1[:, 0:2]
+    pts2 = packed2[:, 0:2]
+    d1 = jax.lax.bitcast_convert_type(packed1[:, 2:10], jnp.uint32)
+    d2 = jax.lax.bitcast_convert_type(packed2[:, 2:10], jnp.uint32)
+    v1 = packed1[:, 10] == 1
+    v2 = packed2[:, 10] == 1
+    from cybervision_tpu.parallel import active_platform
+
+    idx, dist, ok = match_descriptors(
+        d1, v1, d2, v2, threshold, use_f32=active_platform() == "cpu"
+    )
+    rows = jnp.concatenate(
+        [
+            pts1,
+            pts2[idx],
+            dist[:, None].astype(jnp.int32),
+            ok[:, None].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    trailer = jnp.stack(
+        [
+            v1.sum(dtype=jnp.int32),
+            v2.sum(dtype=jnp.int32),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        ]
+    )[None, :]
+    return jnp.concatenate([rows, trailer], axis=0)
+
+
+def match_keypoints_packed(
+    packed1: jnp.ndarray, packed2: jnp.ndarray, threshold: int
+) -> tuple[np.ndarray, int, int]:
+    """Device-resident variant of match_keypoints for ORB packed arrays
+    (features.extract_keypoints_pyramid_packed): one small fetch of the
+    match rows replaces the descriptor fetch + re-upload round trip.
+
+    Returns (matches (M, 4) int64 sorted by ascending Hamming distance,
+    n_features1, n_features2)."""
+    arr = np.asarray(_match_packed_device(packed1, packed2, threshold))
+    n1, n2 = int(arr[-1, 0]), int(arr[-1, 1])
+    rows = arr[:-1]
+    ok = rows[:, 5] == 1
+    sel = rows[ok]
+    order = np.argsort(sel[:, 4], kind="stable")
+    return sel[order, 0:4].astype(np.int64), n1, n2
+
+
 def match_keypoints(
     pts1: np.ndarray,
     desc1: np.ndarray,

@@ -57,19 +57,56 @@ class Reconstruction:
             print(*args)
 
     # -- sparse phase ---------------------------------------------------
-    def match_pair(self, i: int, j: int) -> np.ndarray:
-        """Multi-scale ORB + matching (reconstruction.rs:400-500)."""
-        img1, img2 = self.image(i), self.image(j)
-        with PhaseTimer("Extracted feature points", self.quiet):
-            (pts1, desc1), (pts2, desc2) = extract_keypoints_pyramid_multi(
-                [img1.img, img2.img], self.cfg.orb
+    def _orb_packed(self, i: int):
+        """Per-image cached device-resident ORB pyramid (packed rows) —
+        multi-image runs reuse each image's extraction across all its
+        pairs instead of recomputing it per pair."""
+        if not hasattr(self, "_orb_cache"):
+            self._orb_cache: dict[int, object] = {}
+        if i not in self._orb_cache:
+            from cybervision_tpu.ops.features import (
+                extract_keypoints_pyramid_packed,
             )
-        self._print(f"Image {img1.filename} has {len(pts1)} feature points")
-        self._print(f"Image {img2.filename} has {len(pts2)} feature points")
 
-        with PhaseTimer("Matched keypoints", self.quiet):
-            threshold = self.cfg.matching.threshold(self.cfg.projection)
-            matches = matching.match_keypoints(pts1, desc1, pts2, desc2, threshold)
+            (self._orb_cache[i],) = extract_keypoints_pyramid_packed(
+                [self.image(i).img], self.cfg.orb
+            )
+        return self._orb_cache[i]
+
+    def match_pair(self, i: int, j: int) -> np.ndarray:
+        """Multi-scale ORB + matching (reconstruction.rs:400-500).
+
+        The default path keeps the whole sparse phase device-resident
+        (packed ORB rows feed the matcher directly; one small fetch of
+        the match rows) — the packed descriptor fetch + re-upload through
+        the TPU tunnel costs more than the matching matmul. The sharded
+        multi-chip matcher keeps the host flow."""
+        img1, img2 = self.image(i), self.image(j)
+        from cybervision_tpu.parallel import pipeline_mesh
+
+        threshold = self.cfg.matching.threshold(self.cfg.projection)
+        if pipeline_mesh() is None:
+            with PhaseTimer("Extracted feature points", self.quiet):
+                packed1 = self._orb_packed(i)
+                packed2 = self._orb_packed(j)
+                matches, n1, n2 = matching.match_keypoints_packed(
+                    packed1, packed2, threshold
+                )
+            self._print(f"Image {img1.filename} has {n1} feature points")
+            self._print(f"Image {img2.filename} has {n2} feature points")
+            with PhaseTimer("Matched keypoints", self.quiet):
+                pass  # matched above; the fetch is indivisible from extraction
+        else:
+            with PhaseTimer("Extracted feature points", self.quiet):
+                (pts1, desc1), (pts2, desc2) = extract_keypoints_pyramid_multi(
+                    [img1.img, img2.img], self.cfg.orb
+                )
+            self._print(f"Image {img1.filename} has {len(pts1)} feature points")
+            self._print(f"Image {img2.filename} has {len(pts2)} feature points")
+            with PhaseTimer("Matched keypoints", self.quiet):
+                matches = matching.match_keypoints(
+                    pts1, desc1, pts2, desc2, threshold
+                )
         self._print(f"Found {len(matches)} matches")
         return matches
 

@@ -77,3 +77,26 @@ def test_match_keypoints_sorted(rng):
     lookup = {tuple(p): tuple(q) for p, q in zip(pts1, pts2)}
     for x1, y1, x2, y2 in matches:
         assert lookup[(x1, y1)] == (x2, y2)
+
+
+def test_match_keypoints_packed_parity():
+    """The device-resident sparse path (packed ORB rows -> masked matcher
+    -> one fetch) must be bit-identical to the host flow (fetch
+    descriptors, compact invalid slots, re-upload, match): compaction
+    preserves row order, so the argmin lowest-index tie rule picks the
+    same keypoint, and masked slots can't win (distance 257 > 256)."""
+    from bench import synth_sem_pair
+
+    from cybervision_tpu.config import OrbConfig
+    from cybervision_tpu.ops import features
+
+    img1, img2 = synth_sem_pair(192, 160, seed=5)
+    cfg = OrbConfig()
+    (p1, d1), (p2, d2) = features.extract_keypoints_pyramid_multi(
+        [img1, img2], cfg
+    )
+    host = matching.match_keypoints(p1, d1, p2, d2, 32)
+    packed = features.extract_keypoints_pyramid_packed([img1, img2], cfg)
+    dev, n1, n2 = matching.match_keypoints_packed(packed[0], packed[1], 32)
+    assert (n1, n2) == (len(p1), len(p2))
+    assert np.array_equal(host, dev)
