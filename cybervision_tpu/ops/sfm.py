@@ -677,6 +677,8 @@ class SfmPipeline:
         self.tcfg = cfg.triangulation
         self.quiet = quiet
         self.n = len(images)
+        self.filenames = [getattr(img, "filename", str(i))
+                          for i, img in enumerate(images)]
         self.k = [img.calibration_matrix(cfg.focal_length) for img in images]
         self.shapes = [img.dimensions for img in images]  # (w, h)
         self.store = TrackStore(self.n)
@@ -733,10 +735,23 @@ class SfmPipeline:
 
     def recover_camera_poses(self) -> list[int]:
         """triangulation.rs:710-811 driven to exhaustion
-        (reconstruction.rs:627-666)."""
+        (reconstruction.rs:627-666), with the reference's per-recovery
+        'Recovered pose for images X in N seconds' prints
+        (reconstruction.rs:646-657)."""
+        import time as _time
+
+        def _recovered(images: list[int], t0: float) -> None:
+            if not self.quiet:
+                names = ", ".join(self.filenames[i] for i in images)
+                print(
+                    f"Recovered pose for images {names}"
+                    f" in {_time.monotonic() - t0:.3f} seconds"
+                )
+
         order: list[int] = []
         if self.best_initial is None:
             return order
+        t0 = _time.monotonic()
         score, (i0, j0), p2 = self.best_initial
         k1, k2 = self.k[i0], self.k[j0]
         self.projections[i0] = k1 @ np.hstack([np.eye(3), np.zeros((3, 1))])
@@ -746,8 +761,10 @@ class SfmPipeline:
         self._triangulate_all_tracks()
         self.remaining = [r for r in self.remaining if r not in (i0, j0)]
         order += [i0, j0]
+        _recovered(order, t0)
 
         while self.remaining:
+            t0 = _time.monotonic()
             # Most 3D-point overlaps (triangulation.rs:752-790).
             counts = {
                 r: int(
@@ -779,6 +796,7 @@ class SfmPipeline:
             self.projections[best_r] = cam.projection()
             self._triangulate_all_tracks()
             order.append(best_r)
+            _recovered([best_r], t0)
 
         # Sparse bootstrap tracks are discarded before the dense phase
         # (triangulation.rs:813-815).
@@ -818,7 +836,10 @@ class SfmPipeline:
     # -- finalize ---------------------------------------------------------
     def complete(self, max_points=None, bundle_adjustment=True) -> Surface:
         """triangulation.rs:817-864."""
-        self._triangulate_all_tracks()
+        from cybervision_tpu.utils.progress import DetailTimer
+
+        with DetailTimer("final DLT triangulation"):
+            self._triangulate_all_tracks()
         live = [i for i, p in enumerate(self.projections) if p is not None]
         cameras = [self.cameras[i] for i in live]
         # Remap tracks onto the surviving cameras (prune_projections,
@@ -828,15 +849,17 @@ class SfmPipeline:
         self.projections = [self.projections[i] for i in live]
         self.cameras = cameras
 
-        filter_outliers(self.store, cameras, self.tcfg)
-        self._compact()
+        with DetailTimer("outlier filter"):
+            filter_outliers(self.store, cameras, self.tcfg)
+            self._compact()
 
         if bundle_adjustment and len(self.store):
             from cybervision_tpu.ops import ba
 
-            new_cams = ba.bundle_adjust(
-                self.store, cameras, self.tcfg, quiet=self.quiet
-            )
+            with DetailTimer("bundle adjustment"):
+                new_cams = ba.bundle_adjust(
+                    self.store, cameras, self.tcfg, quiet=self.quiet
+                )
             if new_cams is not None:
                 self.cameras = cameras = new_cams
                 self.projections = [c.projection() for c in cameras]
