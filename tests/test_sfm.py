@@ -207,6 +207,36 @@ def test_bundle_adjust_reduces_error(rng):
     assert after < 0.5  # down to integer-rounding noise
 
 
+def test_bundle_adjust_jit_matches_numpy(rng):
+    """The fused-jit path and the chunk-streaming numpy path implement the
+    same LM math; they must agree to float-reassociation noise on an
+    identical noisy scene (ba.bundle_adjust dispatch contract)."""
+    pts, cams, obs = _scene(rng, 150, 3)
+    noisy_pts = pts + rng.normal(0, 0.05, pts.shape)
+    noisy_cams = [
+        Camera(k=K, r=c.r + rng.normal(0, 0.002, 3), t=c.t + rng.normal(0, 0.01, 3))
+        for c in cams
+    ]
+
+    def fresh_store():
+        store = sfm.TrackStore(3)
+        store.append(_tracks_from_obs(obs))
+        store.points3d = noisy_pts.copy()
+        store.has_point3d = np.ones(len(pts), bool)
+        return store
+
+    s_np = fresh_store()
+    out_np = ba._bundle_adjust_numpy(s_np, list(noisy_cams), TriangulationConfig())
+    s_jit = fresh_store()
+    out_jit = ba._bundle_adjust_jit(s_jit, list(noisy_cams), TriangulationConfig())
+    assert out_np is not None and out_jit is not None
+    for c_np, c_jit in zip(out_np, out_jit):
+        np.testing.assert_allclose(c_np.r, c_jit.r, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(c_np.t, c_jit.t, rtol=0, atol=1e-5)
+    scale = np.abs(s_np.points3d).max()
+    assert np.abs(s_np.points3d - s_jit.points3d).max() < 1e-6 * scale
+
+
 def test_sfm_pipeline_two_view(rng):
     """Sparse bootstrap + dense extension through the SfmPipeline facade."""
 
