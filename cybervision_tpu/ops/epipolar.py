@@ -662,103 +662,154 @@ def _lm_residuals(params, q1, q2, mask):
     return jnp.where(mask, sampson_error(_f_from_params7(params), q1, q2), 0.0)
 
 
-@jax.jit
-def _lm_res_jac(params, q1, q2, mask):
-    return (
-        _lm_residuals(params, q1, q2, mask),
-        jax.jacfwd(_lm_residuals)(params, q1, q2, mask),
+def _lm_res_b(params, q1, q2, masks):
+    """(K, nb) residuals for K parameter lanes with per-lane masks."""
+    return jax.vmap(_lm_residuals, in_axes=(0, None, None, 0))(
+        params, q1, q2, masks
     )
 
 
-def _lm_refine_f(f0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
-                 max_iters: int = 1000) -> np.ndarray | None:
-    """Levenberg-Marquardt over the 7-parameter det-0 parametrization,
-    minimizing Sampson residuals over the inliers
-    (fundamentalmatrix.rs:391-426,515-621). Runs in f64 on the CPU backend
-    (TPUs have no native f64); jacobian via jax.jacfwd instead of the
-    reference's hand-derived symbolic formula. Inlier sets are padded to
-    pow2 buckets with a zero mask (padding repeats row 0, so no
-    degenerate math) — the residual/jacobian programs are module-level
-    jits that compile once per bucket, not once per call.
+def _lm_jac_b(params, q1, q2, masks):
+    """(K, nb, 7) jacobians via jacfwd per lane (instead of the
+    reference's hand-derived symbolic formula)."""
+    return jax.vmap(
+        lambda p, mk: jax.jacfwd(_lm_residuals)(p, q1, q2, mk),
+        in_axes=(0, 0),
+    )(params, masks)
 
-    Documented deviation: the step is the LM DESCENT params - delta for
-    delta = (J'J + mu I)^-1 J'r. The reference applies params + delta
-    (fundamentalmatrix.rs:583) — an ascent step, so every upstream LM
-    iteration fails the rho > 0 gain test and its refinement returns the
-    input F essentially unchanged; this implementation minimizes for
-    real. Non-convergence within max_iters returns None (the reference's
-    Err contract) so callers fall back to the unrefined hypothesis.
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def _lm_refine_batch_jit(params0, q1, q2, masks, valid, max_iters: int):
+    """All top-K LM refinements as ONE compiled while_loop with per-lane
+    damping state — each of the reference's serial LM runs
+    (fundamentalmatrix.rs:391-426,515-621) becomes a vector lane, so the
+    wall-clock is the max (not the sum) of the lanes' iteration counts
+    and the per-iteration Python/dispatch overhead of the former
+    one-jit-call-per-step host loop disappears.
+
+    Per-lane logic is the LM DESCENT loop: delta = (J'J + mu I)^-1 J'r,
+    params - delta (documented deviation: the reference applies
+    params + delta, fundamentalmatrix.rs:583 — an ascent step, so its
+    refinement returns the input F essentially unchanged; this
+    implementation minimizes for real). Lanes terminate found on the
+    gradient / step-size / residual-norm criteria; a singular solve
+    (non-finite delta) marks the lane failed — callers fall back to the
+    unrefined hypothesis, the reference's Err contract. The jacobian is
+    recomputed only on iterations where some lane accepted a step
+    (rejected lanes' params are unchanged, so the recompute is a no-op
+    for them).
     """
+    eye7 = jnp.eye(7, dtype=params0.dtype)
+
+    r0 = _lm_res_b(params0, q1, q2, masks)
+    j0 = _lm_jac_b(params0, q1, q2, masks)
+    g0 = jnp.einsum("kni,kn->ki", j0, r0)
+    mu0 = 1e-3 * jnp.einsum("kni,kni->ki", j0, j0).max(axis=1)
+    found0 = valid & (jnp.abs(g0).max(axis=1) <= 1e-12)
+    done0 = found0 | ~valid
+    nu0 = jnp.full(params0.shape[:1], 2.0, params0.dtype)
+
+    def cond(state):
+        it, done = state[0], state[7]
+        return (it < max_iters) & ~done.all()
+
+    def body(state):
+        it, params, r, j, g, mu, nu, done, found = state
+        jtj = jnp.einsum("kni,knj->kij", j, j) + mu[:, None, None] * eye7
+        delta = jnp.linalg.solve(jtj, g[..., None])[..., 0]
+        bad = ~done & ~jnp.isfinite(delta).all(axis=1)
+        dn = jnp.linalg.norm(delta, axis=1)
+        pn = jnp.linalg.norm(params, axis=1)
+        conv_small = ~done & ~bad & (dn <= 1e-12 * (pn + 1e-12))
+        new_params = params - delta
+        new_r = _lm_res_b(new_params, q1, q2, masks)
+        rr = (r * r).sum(axis=1)
+        nn = (new_r * new_r).sum(axis=1)
+        rho_den = (delta * (mu[:, None] * delta + g)).sum(axis=1)
+        rho = jnp.where(rho_den != 0.0, (rr - nn) / rho_den, -1.0)
+        live = ~done & ~bad & ~conv_small
+        accept = live & (rho > 0.0)
+        params2 = jnp.where(accept[:, None], new_params, params)
+        r2 = jnp.where(accept[:, None], new_r, r)
+        j2 = jax.lax.cond(
+            accept.any(),
+            lambda: _lm_jac_b(params2, q1, q2, masks),
+            lambda: j,
+        )
+        g2 = jnp.einsum("kni,kn->ki", j2, r2)
+        grad_conv = accept & (jnp.abs(g2).max(axis=1) <= 1e-12)
+        res_conv = live & (jnp.sqrt(jnp.where(accept, nn, rr)) <= 1e-12)
+        mu2 = jnp.where(
+            accept,
+            mu * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+            jnp.where(live, mu * nu, mu),
+        )
+        nu2 = jnp.where(accept, 2.0, jnp.where(live, nu * 2.0, nu))
+        newly_found = conv_small | grad_conv | res_conv
+        done2 = done | bad | newly_found
+        found2 = found | newly_found
+        return (it + 1, params2, r2, j2, g2, mu2, nu2, done2, found2)
+
+    state = (0, params0, r0, j0, g0, mu0, nu0, done0, found0)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[1], state[8]
+
+
+def _lm_refine_topk(
+    f0s: list[np.ndarray],
+    fits_list: list[np.ndarray],
+    pts1: np.ndarray,
+    pts2: np.ndarray,
+    k_lanes: int,
+    max_iters: int = 1000,
+) -> list[np.ndarray | None]:
+    """Refine up to k_lanes pooled hypotheses, each over its own inlier
+    set, in one batched program. Runs in f64 on the CPU backend (TPUs
+    have no native f64). The match table is padded to a pow2 bucket and
+    lanes carry per-hypothesis inlier masks (padding repeats row 0 with
+    mask 0, so no degenerate math and zero contribution); the lane axis
+    is padded to the static k_lanes with valid=False — one compile per
+    (bucket, k_lanes), persistently cached. Returns the refined F (or
+    None where LM failed / diverged / lost rank) per input hypothesis."""
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        params = jnp.asarray(
-            [f0[0, 0], f0[0, 1], f0[0, 2], f0[1, 0], f0[1, 1], f0[1, 2], f0[2, 0]],
-            dtype=jnp.float64,
+        m = len(pts1)
+        nb = pow2_bucket(m, floor=256)
+        q1 = np.concatenate([pts1, np.repeat(pts1[0:1], nb - m, axis=0)])
+        q2 = np.concatenate([pts2, np.repeat(pts2[0:1], nb - m, axis=0)])
+        params = np.zeros((k_lanes, 7), np.float64)
+        masks = np.zeros((k_lanes, nb), bool)
+        valid = np.zeros(k_lanes, bool)
+        for i, (f0, fits) in enumerate(zip(f0s, fits_list)):
+            params[i] = (
+                f0[0, 0], f0[0, 1], f0[0, 2],
+                f0[1, 0], f0[1, 1], f0[1, 2], f0[2, 0],
+            )
+            masks[i, :m] = fits
+            valid[i] = True
+        params_out_d, found_d = _lm_refine_batch_jit(
+            jnp.asarray(params, jnp.float64),
+            jnp.asarray(q1, jnp.float64),
+            jnp.asarray(q2, jnp.float64),
+            jnp.asarray(masks),
+            jnp.asarray(valid),
+            max_iters,
         )
-        n = len(p1)
-        nb = pow2_bucket(n, floor=256)
-        pad_rows = np.repeat(p1[0:1], nb - n, axis=0)
-        q1 = jnp.asarray(np.concatenate([p1, pad_rows]), dtype=jnp.float64)
-        pad_rows2 = np.repeat(p2[0:1], nb - n, axis=0)
-        q2 = jnp.asarray(np.concatenate([p2, pad_rows2]), dtype=jnp.float64)
-        mask = jnp.asarray(np.arange(nb) < n)
+        params_out = np.asarray(params_out_d)
+        found = np.asarray(found_d)
 
-        def res_fn(p):
-            return _lm_residuals(p, q1, q2, mask)
-
-        def jac_fn(p):
-            return _lm_res_jac(p, q1, q2, mask)[1]
-
-        def rank_checked(p):
-            f = np.asarray(_f_from_params7(jnp.asarray(p)), dtype=np.float64)
-            # Post-refinement rank sanity (fundamentalmatrix.rs:418-424).
-            sv = np.linalg.svd(f.T, compute_uv=False)
-            if sv[1] < 1e-3 or sv[2] > 1e-3:
-                return None
-            return f
-
-        r_d, j_d = _lm_res_jac(params, q1, q2, mask)
-        r, j = np.asarray(r_d), np.asarray(j_d)
-        g = j.T @ r
-        if np.max(np.abs(g)) <= 1e-12:
-            return rank_checked(params)
-        mu = 1e-3 * float(np.max(np.diag(j.T @ j)))
-        nu = 2.0
-        params = np.asarray(params)
-        found = False
-        for _ in range(max_iters):
-            jtj = j.T @ j + mu * np.eye(7)
-            try:
-                delta = np.linalg.solve(jtj, g)
-            except np.linalg.LinAlgError:
-                return None
-            if np.linalg.norm(delta) <= 1e-12 * (np.linalg.norm(params) + 1e-12):
-                found = True
-                break
-            # Descent step (see the docstring's deviation note); the gain
-            # ratio denominator delta'(mu delta + g) matches this sign.
-            new_params = params - delta
-            new_r = np.asarray(res_fn(jnp.asarray(new_params)))
-            rho_den = float(delta @ (mu * delta + g))
-            rho = (r @ r - new_r @ new_r) / rho_den if rho_den != 0 else -1.0
-            if rho > 0:
-                params, r = new_params, new_r
-                j = np.asarray(jac_fn(jnp.asarray(params)))
-                g = j.T @ r
-                if np.max(np.abs(g)) <= 1e-12:
-                    found = True
-                    break
-                mu *= max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-                nu = 2.0
-            else:
-                mu *= nu
-                nu *= 2.0
-            if np.linalg.norm(r) <= 1e-12:
-                found = True
-                break
-        if not found:
-            return None
-        return rank_checked(params)
+    out: list[np.ndarray | None] = []
+    for i in range(len(f0s)):
+        if not found[i]:
+            out.append(None)
+            continue
+        f = np.asarray(
+            _f_from_params7(jnp.asarray(params_out[i])), dtype=np.float64
+        )
+        # Post-refinement rank sanity (fundamentalmatrix.rs:418-424).
+        sv = np.linalg.svd(f.T, compute_uv=False)
+        out.append(None if (sv[1] < 1e-3 or sv[2] > 1e-3) else f)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -901,22 +952,30 @@ def find_fundamental_matrix(
 
     f = pool[0][0]
     if projection == ProjectionMode.PERSPECTIVE:
-        # LM-refine every pooled hypothesis on its own inlier set, rescore
-        # against all matches, and keep the overall (count, -err) winner —
-        # raw candidates stay in the running in case LM diverges.
+        # LM-refine every pooled hypothesis on its own inlier set (one
+        # batched program — see _lm_refine_batch_jit), rescore against
+        # all matches, and keep the overall (count, -err) winner — raw
+        # candidates stay in the running in case LM diverges.
         candidates = list(pool)
+        refinable = []
         for f0, _, _ in pool:
             fits0 = _score_inliers(f0, pts1, pts2, t)
-            if fits0.sum() < 7:
-                continue
-            refined = _lm_refine_f(f0, pts1[fits0], pts2[fits0])
-            if refined is None:
-                continue
-            err = _sampson_np(refined, pts1, pts2)
-            fits_r = np.isfinite(err) & (err <= t)
-            c_r = int(fits_r.sum())
-            if c_r:
-                candidates.append((refined, c_r, float(err[fits_r].mean())))
+            if fits0.sum() >= 7:
+                refinable.append((f0, fits0))
+        if refinable:
+            refined_list = _lm_refine_topk(
+                [f0 for f0, _ in refinable],
+                [fits0 for _, fits0 in refinable],
+                pts1, pts2, k_lanes=max(cfg.top_k_refine, len(refinable)),
+            )
+            for refined in refined_list:
+                if refined is None:
+                    continue
+                err = _sampson_np(refined, pts1, pts2)
+                fits_r = np.isfinite(err) & (err <= t)
+                c_r = int(fits_r.sum())
+                if c_r:
+                    candidates.append((refined, c_r, float(err[fits_r].mean())))
         candidates.sort(key=lambda e: (-e[1], e[2]))
         f = candidates[0][0]
 
