@@ -93,6 +93,15 @@ _lib.format_obj_faces.argtypes = [
     ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_char_p,
 ]
 _lib.format_obj_faces.restype = ctypes.c_long
+_lib.format_obj_uvs.argtypes = [
+    ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_char_p,
+]
+_lib.format_obj_uvs.restype = ctypes.c_long
+_lib.format_obj_faces_uv.argtypes = [
+    ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ctypes.c_long, ctypes.c_char_p,
+]
+_lib.format_obj_faces_uv.restype = ctypes.c_long
 
 
 def _dptr(a):
@@ -259,6 +268,31 @@ def format_obj_faces(faces) -> str:
     buf = ctypes.create_string_buffer(64 * max(len(faces), 1))
     written = _lib.format_obj_faces(
         faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces), buf
+    )
+    return buf.raw[:written].decode()
+
+
+def format_obj_uvs(uvs) -> str:
+    """'vt u v\\n' lines from (N, 2) doubles, shortest-round-trip
+    (round-trip-exact vs the f-string fallback; integer-valued doubles
+    render '1' where Python writes '1.0')."""
+    uvs = np.ascontiguousarray(uvs, np.float64)
+    # 'vt ' + two <=24-char doubles + separator + newline => 64 bounds it.
+    buf = ctypes.create_string_buffer(64 * max(len(uvs), 1))
+    written = _lib.format_obj_uvs(_dptr(uvs), len(uvs), buf)
+    return buf.raw[:written].decode()
+
+
+def format_obj_faces_uv(faces, uvs) -> str:
+    """'f a/ua b/ub c/uc\\n' lines (pass 1-based, reversed vertex and UV
+    index triples of equal shape)."""
+    faces = np.ascontiguousarray(faces, np.int32)
+    uvs = np.ascontiguousarray(uvs, np.int32)
+    assert faces.shape == uvs.shape
+    buf = ctypes.create_string_buffer(96 * max(len(faces), 1))
+    written = _lib.format_obj_faces_uv(
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        uvs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces), buf
     )
     return buf.raw[:written].decode()
 

@@ -470,4 +470,41 @@ long format_obj_faces(const int32_t *faces, long n, char *out) {
   return p - out;
 }
 
+// OBJ texture-coordinate lines "vt u v\n" (output.rs:938-948),
+// shortest-round-trip doubles (round-trip-exact like the f-string
+// fallback; integer-valued doubles render "1" vs Python's "1.0").
+long format_obj_uvs(const double *uvs, long n, char *out) {
+  char *p = out;
+  for (long i = 0; i < n; i++) {
+    *p++ = 'v';
+    *p++ = 't';
+    *p++ = ' ';
+    p = write_double(p, uvs[i * 2]);
+    *p++ = ' ';
+    p = write_double(p, uvs[i * 2 + 1]);
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+// Textured OBJ face lines "f a/ua b/ub c/uc\n" (1-based, already-reversed
+// vertex and per-projection UV indices; output.rs:950-969).
+long format_obj_faces_uv(const int32_t *faces, const int32_t *uvs, long n,
+                         char *out) {
+  char *p = out;
+  for (long i = 0; i < n; i++) {
+    *p++ = 'f';
+    for (int k = 0; k < 3; k++) {
+      *p++ = ' ';
+      auto res = std::to_chars(p, p + 16, faces[i * 3 + k]);
+      p = res.ptr;
+      *p++ = '/';
+      res = std::to_chars(p, p + 16, uvs[i * 3 + k]);
+      p = res.ptr;
+    }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
 }  // extern "C"

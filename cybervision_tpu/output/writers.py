@@ -131,6 +131,26 @@ def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
     dirname = os.path.dirname(path) or "."
     textured = mesh_mode == MeshMode.TEXTURE_COORDINATES
 
+    # Texture PNG encode runs on threads concurrent with the OBJ body
+    # write (PIL's encoder releases the GIL); compress_level=1 because
+    # the 12-Mpix hi-res textures take seconds at zlib's default 6 and
+    # the reference makes no compression-level promise (output.rs:992).
+    encoders = []
+    if textured:
+        import threading
+
+        def _save_texture(img, name):
+            Image.fromarray(img).save(
+                os.path.join(dirname, name), compress_level=1
+            )
+
+        for i, img in enumerate(images):
+            t = threading.Thread(
+                target=_save_texture, args=(img, f"{stem}-{i}.png")
+            )
+            t.start()
+            encoders.append(t)
+
     try:
         from cybervision_tpu.native import format_obj_vertices as native_fmt
     except Exception:
@@ -173,33 +193,50 @@ def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
             ).reshape(-1, 2)
             u = surface.tracks[t_idx, i_idx, 0] / wh[i_idx, 0]
             v = 1.0 - surface.tracks[t_idx, i_idx, 1] / wh[i_idx, 1]
-            fh.writelines(
-                f"vt {a} {b}\n" for a, b in zip(u.tolist(), v.tolist())
-            )
+            try:
+                from cybervision_tpu.native import format_obj_uvs
 
-        current_cam = None
+                fh.write(format_obj_uvs(np.stack([u, v], axis=1)))
+            except ImportError:
+                fh.writelines(
+                    f"vt {a} {b}\n" for a, b in zip(u.tolist(), v.tolist())
+                )
+
         vis = surface.tracks[:, :, 0] != MISSING
-        vis_cum = np.cumsum(vis, axis=1)  # projections up to and incl. i
-        plain_faces = []
-        for poly, cam in zip(mesh.polygons, mesh.polygon_cameras):
-            if textured and cam != current_cam:
-                fh.write(f"usemtl Textured{cam}\n")
-                current_cam = cam
-            if textured:
-                parts = []
-                for vi in poly[::-1]:
-                    uv = (
-                        uv_index[vi]
-                        + int(vis_cum[vi, cam])
-                        - int(vis[vi, cam])
-                        + 1
+        if textured and len(mesh.polygons):
+            # Vectorized: per face, the 1-based vertex index and its
+            # per-projection UV index (offset of the visible projections
+            # before `cam` in this track's vt block, output.rs:950-969) —
+            # the per-polygon Python loop dominated the hi-res save phase.
+            vis_cum = np.cumsum(vis, axis=1)  # projections up to/incl. i
+            rev = np.asarray(mesh.polygons)[:, ::-1]
+            cams = np.asarray(mesh.polygon_cameras)
+            c = cams[:, None]
+            uvs = (
+                uv_index[rev] + vis_cum[rev, c] - vis[rev, c] + 1
+            ).astype(np.int64)
+            try:
+                from cybervision_tpu.native import format_obj_faces_uv
+            except ImportError:
+                format_obj_faces_uv = None
+            # usemtl breaks at camera-run boundaries (the mesh builder
+            # emits polygons grouped by camera).
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(cams)) + 1, [len(cams)]]
+            )
+            for s, e in zip(starts[:-1], starts[1:]):
+                fh.write(f"usemtl Textured{cams[s]}\n")
+                if format_obj_faces_uv is not None:
+                    fh.write(format_obj_faces_uv(rev[s:e] + 1, uvs[s:e]))
+                else:
+                    fh.writelines(
+                        f"f {f0}/{u0} {f1}/{u1} {f2}/{u2}\n"
+                        for (f0, f1, f2), (u0, u1, u2) in zip(
+                            (rev[s:e] + 1).tolist(), uvs[s:e].tolist()
+                        )
                     )
-                    parts.append(f"{vi + 1}/{uv}")
-                fh.write("f " + " ".join(parts) + "\n")
-            else:
-                plain_faces.append(poly)
-        if plain_faces:
-            rev = np.asarray(plain_faces)[:, ::-1] + 1
+        elif len(mesh.polygons):
+            rev = np.asarray(mesh.polygons)[:, ::-1] + 1
             try:
                 from cybervision_tpu.native import format_obj_faces
 
@@ -211,14 +248,15 @@ def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
 
     if textured:
         with open(os.path.join(dirname, f"{stem}.mtl"), "w") as fh:
-            for i, img in enumerate(images):
+            for i in range(len(images)):
                 name = f"{stem}-{i}.png"
                 fh.write(
                     f"newmtl Textured{i}\nKa 0.2 0.2 0.2\nKd 0.8 0.8 0.8\n"
                     f"Ks 1.0 1.0 1.0\nillum 2\nNs 0.000500\n"
                     f"map_Ka {name}\nmap_Kd {name}\n\n"
                 )
-                Image.fromarray(img).save(os.path.join(dirname, name))
+        for t in encoders:
+            t.join()
 
 
 def write_depth_image(

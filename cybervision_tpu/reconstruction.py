@@ -220,11 +220,21 @@ class Reconstruction:
             and not lower.endswith((".ply", ".obj"))
         )
         ply_lane = self._affine_ply_lane(lower)
+        # Generic path at compact sizes (coords fit 12 bits): fetch the
+        # (H, W) int32 word instead of three int64 planes and triangulate
+        # straight from it — at hi-res this skips a ~300 MB host unpack
+        # and sizes the point arrays by --max-points up front.
+        img1, img2 = self.image(0), self.image(1)
+        word_lane = (
+            not fast_lane
+            and not ply_lane
+            and max(*img1.dimensions, *img2.dimensions) <= 4096
+        )
         if not fast_lane:
             self._prefetch_rgb([0, 1])
         correlated = self.correlate_pair(
             0, 1, pair.f,
-            device_out="word" if ply_lane else fast_lane,
+            device_out="word" if (ply_lane or word_lane) else fast_lane,
         )
 
         if fast_lane:
@@ -239,6 +249,7 @@ class Reconstruction:
                 )
             return
 
+        word = None
         if ply_lane:
             word = np.asarray(correlated)
             from cybervision_tpu.config import MeshMode
@@ -260,19 +271,32 @@ class Reconstruction:
                 return
             # No correlated pixels (or an RGB/grid shape mismatch): fall
             # through to the generic path for its semantics.
-            correlated = correlation.unpack_correlated(word)
+        elif word_lane:
+            word = np.asarray(correlated)
 
         with PhaseTimer("Completed triangulation post-processing", self.quiet):
-            surface = triangulate_affine(correlated)
-            if self.cfg.max_points is not None and surface.n_points > self.cfg.max_points:
-                keep = np.random.RandomState(self.cfg.ransac.seed).choice(
-                    surface.n_points, self.cfg.max_points, replace=False
+            if word is not None:
+                from cybervision_tpu.ops.affine_triangulation import (
+                    triangulate_affine_word,
                 )
-                surface.points3d = surface.points3d[keep]
-                surface.tracks = surface.tracks[keep]
-                # A subsampled surface is no longer a dense grid; meshing
-                # must fall back to the generic Delaunay.
-                surface.grid_shape = None
+
+                surface = triangulate_affine_word(
+                    word, self.cfg.max_points, self.cfg.ransac.seed
+                )
+            else:
+                surface = triangulate_affine(correlated)
+                if (
+                    self.cfg.max_points is not None
+                    and surface.n_points > self.cfg.max_points
+                ):
+                    keep = np.random.RandomState(self.cfg.ransac.seed).choice(
+                        surface.n_points, self.cfg.max_points, replace=False
+                    )
+                    surface.points3d = surface.points3d[keep]
+                    surface.tracks = surface.tracks[keep]
+                    # A subsampled surface is no longer a dense grid;
+                    # meshing must fall back to the generic Delaunay.
+                    surface.grid_shape = None
 
         self._write_output(surface, [0, 1])
 

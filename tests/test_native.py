@@ -114,3 +114,22 @@ def test_ply_write_failure_raises(rng):
     word = np.full((8, 8), 1 << 24, np.int32)  # all pixels valid
     with pytest.raises(OutputError):
         native.ply_write_corr_grid("/dev/full", word, (1.0, 1.0, 1.0))
+
+
+def test_format_obj_uvs_and_faces_uv(rng):
+    uvs = rng.uniform(0, 1, (30, 2))
+    txt = native.format_obj_uvs(uvs)
+    lines = txt.splitlines()
+    assert len(lines) == 30
+    for line, (u, v) in zip(lines, uvs):
+        parts = line.split()
+        assert parts[0] == "vt"
+        np.testing.assert_array_equal([float(parts[1]), float(parts[2])], [u, v])
+
+    faces = rng.randint(1, 99999, (25, 3)).astype(np.int32)
+    uvi = rng.randint(1, 99999, (25, 3)).astype(np.int32)
+    ftxt = native.format_obj_faces_uv(faces, uvi)
+    flines = ftxt.splitlines()
+    assert len(flines) == 25
+    f, u = faces[0], uvi[0]
+    assert flines[0] == f"f {f[0]}/{u[0]} {f[1]}/{u[1]} {f[2]}/{u[2]}"

@@ -287,3 +287,36 @@ def test_fused_grid_ply_byte_identical(tmp_path, rng):
         mesh = meshing.build_mesh(s, [(w, h), (w, h)], InterpolationMode.DELAUNAY)
         writers.write_ply(str(chain), mesh, imgs, mode, scale)
         assert fused.read_bytes() == chain.read_bytes()
+
+
+def test_triangulate_affine_word_matches_planes(rng):
+    """triangulate_affine_word must equal triangulate_affine on the
+    unpacked planes, and its --max-points subsample must be exactly the
+    old subsample-after-materialize path (same seeded choice over the
+    same row-major valid list)."""
+    from cybervision_tpu.ops.affine_triangulation import (
+        triangulate_affine_word,
+    )
+    from cybervision_tpu.ops.correlation import unpack_correlated
+
+    h, w = 37, 53
+    valid = rng.rand(h, w) < 0.7
+    x2 = rng.randint(0, w, (h, w)).astype(np.int32)
+    y2 = rng.randint(0, h, (h, w)).astype(np.int32)
+    word = (x2 & 0xFFF) | ((y2 & 0xFFF) << 12) | (valid.astype(np.int32) << 24)
+
+    s_word = triangulate_affine_word(word)
+    s_ref = triangulate_affine(unpack_correlated(word))
+    np.testing.assert_array_equal(s_word.points3d, s_ref.points3d)
+    np.testing.assert_array_equal(s_word.tracks, s_ref.tracks)
+    assert s_word.grid_shape == s_ref.grid_shape == (h, w)
+
+    # Subsample path: identical to choice-then-index on the full surface.
+    seed, cap = 5, 200
+    s_sub = triangulate_affine_word(word, max_points=cap, seed=seed)
+    keep = np.random.RandomState(seed).choice(
+        s_ref.n_points, cap, replace=False
+    )
+    np.testing.assert_array_equal(s_sub.points3d, s_ref.points3d[keep])
+    np.testing.assert_array_equal(s_sub.tracks, s_ref.tracks[keep])
+    assert s_sub.grid_shape is None
