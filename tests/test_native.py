@@ -133,3 +133,44 @@ def test_format_obj_uvs_and_faces_uv(rng):
     assert len(flines) == 25
     f, u = faces[0], uvi[0]
     assert flines[0] == f"f {f[0]}/{u[0]} {f[1]}/{u[1]} {f[2]}/{u[2]}"
+
+
+def test_delaunay_int_valid_and_matches_qhull_counts(rng):
+    """The exact-integer Delaunay must produce a valid Delaunay
+    triangulation: same triangle count as Qhull (equal by Euler's formula
+    for any triangulation of the same hull), all CCW, total area = hull
+    area, and the empty-circumcircle property on a sampled subset."""
+    from scipy.spatial import ConvexHull, Delaunay
+
+    h, w = 60, 83
+    idx = rng.choice(h * w, 1500, replace=False)
+    pts = np.stack([idx % w, idx // w], axis=1).astype(np.int32)
+
+    tris = native.delaunay_int(pts)
+    ref = Delaunay(pts.astype(np.float64))
+    assert tris is not None and len(tris) == len(ref.simplices)
+
+    p = pts.astype(np.float64)
+    e1 = p[tris[:, 1]] - p[tris[:, 0]]
+    e2 = p[tris[:, 2]] - p[tris[:, 0]]
+    cross = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    assert (cross > 0).all()
+    assert abs(0.5 * cross.sum() - ConvexHull(p).volume) < 1e-9
+
+    sample = rng.choice(len(tris), 100, replace=False)
+    for ti in sample:
+        a, b, c = p[tris[ti]]
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                 + c[0] * (a[1] - b[1]))
+        ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1])
+              + (c @ c) * (a[1] - b[1])) / d
+        uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0])
+              + (c @ c) * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        d2 = (p[:, 0] - ux) ** 2 + (p[:, 1] - uy) ** 2
+        assert (d2 > r2 - 1e-6 * max(r2, 1.0)).all()
+
+    # Degenerate inputs: all-collinear -> zero triangles; tiny n -> None.
+    assert len(native.delaunay_int(
+        np.array([[0, 0], [1, 1], [2, 2], [3, 3]], np.int32))) == 0
+    assert native.delaunay_int(np.array([[0, 0], [1, 1]], np.int32)) is None
