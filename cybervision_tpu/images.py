@@ -70,40 +70,82 @@ def _parse_sem_metadata(data: str, meta: ImageMeta) -> None:
     )
 
 
-def read_metadata(path: str) -> ImageMeta:
-    """Extract SEM + EXIF metadata; silently defaults on failure
-    (reconstruction.rs:62-73)."""
+def _meta_from_open(img: Image.Image) -> ImageMeta:
+    """Extract SEM + EXIF metadata from an already-open PIL image;
+    silently defaults on failure (reconstruction.rs:62-73).
+
+    NOTE: PIL's getexif() forces a full pixel decode for PNGs (the eXIf
+    chunk can trail the image data), so callers that will also read the
+    pixels should run this on the SAME open handle — the decode is then
+    reused by the later convert() instead of happening twice."""
     meta = ImageMeta()
     try:
-        with Image.open(path) as img:
-            sem_data = None
-            tags = getattr(img, "tag_v2", None)
-            if tags is not None:
-                raw = tags.get(TIFFTAG_META_PHENOM) or tags.get(TIFFTAG_META_QUANTA)
-                if raw is not None:
-                    if isinstance(raw, bytes):
-                        sem_data = raw.decode("utf-8", errors="ignore")
-                    else:
-                        sem_data = str(raw)
-            if sem_data:
-                _parse_sem_metadata(sem_data, meta)
-            # Guard the EXIF step separately: a corrupt EXIF payload must
-            # not discard SEM metadata already parsed above (the databar
-            # crop in particular — losing it would feed overlay text
-            # pixels into the reconstruction).
-            try:
-                exif = img.getexif()
-                focal = exif.get(EXIF_FOCAL_LENGTH_35MM)
-                if focal is None:
-                    # Sub-IFD EXIF block (JPEGs store it there).
-                    focal = exif.get_ifd(0x8769).get(EXIF_FOCAL_LENGTH_35MM)
-                if focal is not None:
-                    meta.focal_length_35mm = int(focal)
-            except Exception:
-                pass
+        sem_data = None
+        tags = getattr(img, "tag_v2", None)
+        if tags is not None:
+            raw = tags.get(TIFFTAG_META_PHENOM) or tags.get(TIFFTAG_META_QUANTA)
+            if raw is not None:
+                if isinstance(raw, bytes):
+                    sem_data = raw.decode("utf-8", errors="ignore")
+                else:
+                    sem_data = str(raw)
+        if sem_data:
+            _parse_sem_metadata(sem_data, meta)
+        # Guard the EXIF step separately: a corrupt EXIF payload must
+        # not discard SEM metadata already parsed above (the databar
+        # crop in particular — losing it would feed overlay text
+        # pixels into the reconstruction).
+        try:
+            exif = img.getexif()
+            focal = exif.get(EXIF_FOCAL_LENGTH_35MM)
+            if focal is None:
+                # Sub-IFD EXIF block (JPEGs store it there).
+                focal = exif.get_ifd(0x8769).get(EXIF_FOCAL_LENGTH_35MM)
+            if focal is not None:
+                meta.focal_length_35mm = int(focal)
+        except Exception:
+            pass
     except Exception:
         return meta
     return meta
+
+
+# Metadata is read twice per image (grayscale + RGB load); the stat-keyed
+# cache makes the second read free. Entries are immutable by convention
+# (no caller mutates the returned ImageMeta).
+_META_CACHE: dict[str, tuple[tuple[int, int], ImageMeta]] = {}
+
+
+def _stat_sig(path: str) -> tuple[int, int] | None:
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _cached_meta(path: str, img: Image.Image) -> ImageMeta:
+    sig = _stat_sig(path)
+    if sig is not None:
+        hit = _META_CACHE.get(path)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+    meta = _meta_from_open(img)
+    if sig is not None:
+        _META_CACHE[path] = (sig, meta)
+    return meta
+
+
+def read_metadata(path: str) -> ImageMeta:
+    """Extract SEM + EXIF metadata; silently defaults on failure
+    (reconstruction.rs:62-73)."""
+    try:
+        with Image.open(path) as img:
+            return _cached_meta(path, img)
+    except Exception:
+        return ImageMeta()
 
 
 class SourceImage:
@@ -136,9 +178,13 @@ class SourceImage:
 
     @classmethod
     def load(cls, path: str) -> "SourceImage":
-        """Load as luma8 and crop the SEM databar (reconstruction.rs:40-52)."""
-        meta = read_metadata(path)
+        """Load as luma8 and crop the SEM databar (reconstruction.rs:40-52).
+
+        One open serves both the metadata read and the pixel decode: PNG
+        getexif() forces a decode, which convert() then reuses — a second
+        Image.open would decode the 12-Mpix hi-res inputs twice."""
         with Image.open(path) as pil:
+            meta = _cached_meta(path, pil)
             img = np.asarray(pil.convert("L"), dtype=np.uint8)
         if meta.databar_height > 0:
             img = img[: img.shape[0] - meta.databar_height, :]
@@ -153,8 +199,8 @@ class SourceImage:
     @staticmethod
     def load_rgb(path: str) -> np.ndarray:
         """RGB load with databar cropping (reconstruction.rs:54-60)."""
-        meta = read_metadata(path)
         with Image.open(path) as pil:
+            meta = _cached_meta(path, pil)
             img = np.asarray(pil.convert("RGB"), dtype=np.uint8)
         if meta.databar_height > 0:
             img = img[: img.shape[0] - meta.databar_height, :]
