@@ -123,7 +123,43 @@ def write_ply(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
                 fh.write(faces.tobytes())
 
 
-def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
+class TextureEncoder:
+    """Background PNG encode of texture images into MEMORY buffers.
+
+    The orchestrator starts one of these as soon as the RGB images are
+    decoded, so the multi-second hi-res texture encode overlaps dense
+    correlation and meshing instead of serializing into the save phase;
+    write_obj then just dumps the finished buffers to disk (a ~15 MB
+    file write, milliseconds). Encoding to memory rather than to the
+    final paths keeps failed runs from leaving stray texture files."""
+
+    def __init__(self, images: list[np.ndarray]):
+        import io
+        import threading
+
+        self.n_images = len(images)
+        self.buffers = [io.BytesIO() for _ in images]
+        self.threads = []
+        for img, buf in zip(images, self.buffers):
+            t = threading.Thread(
+                target=self._encode, args=(img, buf), daemon=True
+            )
+            t.start()
+            self.threads.append(t)
+
+    @staticmethod
+    def _encode(img: np.ndarray, buf) -> None:
+        Image.fromarray(img).save(buf, format="PNG", compress_level=1)
+
+    def write_to(self, dirname: str, stem: str) -> None:
+        for i, (t, buf) in enumerate(zip(self.threads, self.buffers)):
+            t.join()
+            with open(os.path.join(dirname, f"{stem}-{i}.png"), "wb") as fh:
+                fh.write(buf.getbuffer())
+
+
+def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale,
+              texture_encoder: TextureEncoder | None = None):
     """Wavefront OBJ (+ .mtl and texture images for texture mode)
     (output.rs:774-1007)."""
     surface = mesh.surface
@@ -135,8 +171,12 @@ def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
     # write (PIL's encoder releases the GIL); compress_level=1 because
     # the 12-Mpix hi-res textures take seconds at zlib's default 6 and
     # the reference makes no compression-level promise (output.rs:992).
+    # A pre-started TextureEncoder (already encoding since image load)
+    # replaces the threads entirely.
+    if texture_encoder is not None and texture_encoder.n_images != len(images):
+        texture_encoder = None  # image set changed: encode fresh
     encoders = []
-    if textured:
+    if textured and texture_encoder is None:
         import threading
 
         def _save_texture(img, name):
@@ -255,6 +295,8 @@ def write_obj(path, mesh: Mesh, images, mesh_mode: MeshMode, out_scale):
                     f"Ks 1.0 1.0 1.0\nillum 2\nNs 0.000500\n"
                     f"map_Ka {name}\nmap_Kd {name}\n\n"
                 )
+        if texture_encoder is not None:
+            texture_encoder.write_to(dirname, stem)
         for t in encoders:
             t.join()
 
@@ -414,6 +456,7 @@ def output_surface(
     mesh_mode: MeshMode,
     progress=None,
     output_cfg: OutputConfig = OutputConfig(),
+    texture_encoder: TextureEncoder | None = None,
 ):
     """Writer facade (output.rs:567-611): dispatch on extension, build the
     mesh, emit."""
@@ -462,7 +505,8 @@ def output_surface(
     lower = path.lower()
     with DetailTimer(f"write {lower.rsplit('.', 1)[-1]}"):
         if lower.endswith(".obj"):
-            write_obj(path, mesh, images, mesh_mode, out_scale)
+            write_obj(path, mesh, images, mesh_mode, out_scale,
+                      texture_encoder=texture_encoder)
         elif lower.endswith(".ply"):
             write_ply(path, mesh, images, mesh_mode, out_scale)
         else:

@@ -354,6 +354,9 @@ class Reconstruction:
         linked = pipeline.recover_camera_poses()
         if not linked:
             raise TriangulationError("No matching image pairs found")
+        # Output-phase RGB decode (+ texture pre-encode for textured OBJ)
+        # overlaps the dense phase below.
+        self._prefetch_rgb(sorted(linked))
 
         # Dense correlation of linked pairs + per-image track merging
         # (reconstruction.rs:668-730). Pairs are software-pipelined one
@@ -430,14 +433,30 @@ class Reconstruction:
 
     def _prefetch_rgb(self, linked_images: list[int]) -> None:
         """Decode the output-phase RGB images on a thread while the
-        device works (PIL decode overlaps the dense dispatch)."""
+        device works (PIL decode overlaps the dense dispatch). For a
+        texture-coordinates OBJ the thread also kicks off the texture
+        PNG encode (to memory) the moment the decodes finish — at hi-res
+        the encode takes seconds and fully hides behind the dense phase."""
         import threading
 
         results: dict[int, np.ndarray] = {}
+        from cybervision_tpu.config import MeshMode
+
+        textured_obj = (
+            self.cfg.mesh == MeshMode.TEXTURE_COORDINATES
+            and self.out_filename.lower().endswith(".obj")
+        )
 
         def work():
             for i in linked_images:
                 results[i] = SourceImage.load_rgb(self.filenames[i])
+            if textured_obj:
+                from cybervision_tpu.output.writers import TextureEncoder
+
+                self._texture_encoder = (
+                    list(linked_images),
+                    TextureEncoder([results[i] for i in linked_images]),
+                )
 
         t = threading.Thread(target=work, daemon=True)
         t.start()
@@ -461,6 +480,11 @@ class Reconstruction:
         with PhaseTimer("Saved result", self.quiet):
             with DetailTimer("take_rgb"):
                 images_rgb = self._take_rgb(linked_images)
+            pre = getattr(self, "_texture_encoder", None)
+            encoder = None
+            if pre is not None and pre[0] == list(linked_images):
+                encoder = pre[1]
+            self._texture_encoder = None
             output_surface(
                 surface,
                 self._out_scale(),
@@ -470,6 +494,7 @@ class Reconstruction:
                 self.cfg.interpolation,
                 self.cfg.mesh,
                 output_cfg=self.cfg.output,
+                texture_encoder=encoder,
             )
 
 

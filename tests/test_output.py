@@ -209,6 +209,29 @@ def test_write_obj(tmp_path, rng):
     assert any(l.startswith("usemtl Textured") for l in lines)
     assert "/" in [l for l in lines if l.startswith("f ")][0]
 
+    # A pre-started TextureEncoder (the orchestrator's overlap path) must
+    # produce byte-identical .obj and texture files.
+    path3 = str(tmp_path / "pre.obj")
+    writers.write_obj(
+        path3, mesh, [img, img], MeshMode.TEXTURE_COORDINATES, (1, 1, 1),
+        texture_encoder=writers.TextureEncoder([img, img]),
+    )
+    assert open(path3, "rb").read().replace(b"pre", b"tex") == open(
+        path2, "rb"
+    ).read()
+    for i in range(2):
+        assert (
+            (tmp_path / f"pre-{i}.png").read_bytes()
+            == (tmp_path / f"tex-{i}.png").read_bytes()
+        )
+    # An encoder whose image set doesn't match is ignored, not misused.
+    path4 = str(tmp_path / "mis.obj")
+    writers.write_obj(
+        path4, mesh, [img, img], MeshMode.TEXTURE_COORDINATES, (1, 1, 1),
+        texture_encoder=writers.TextureEncoder([img]),
+    )
+    assert (tmp_path / "mis-1.png").exists()
+
 
 def test_depth_image_writer(tmp_path):
     s = _toy_surface()
