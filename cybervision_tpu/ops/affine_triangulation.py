@@ -61,6 +61,49 @@ def triangulate_affine_word(
     )
 
 
+def triangulate_affine_word_sampled(
+    idx: np.ndarray, words: np.ndarray, h: int, w: int
+) -> Surface:
+    """Surface from a device-side --max-points draw
+    (ops.correlation.sample_word_grid): flat pixel indices + their
+    correlation words, possibly padded with invalid entries when fewer
+    valid pixels exist than requested. In that no-subsample case the
+    entries are re-sorted row-major, making the result identical to
+    triangulate_affine_word(word) with no max_points (dense grid kept,
+    grid_shape intact); otherwise grid_shape drops to None exactly like
+    the host subsample lane."""
+    valid = ((words >> 24) & 1) == 1
+    grid_shape: tuple | None = None
+    if not valid.all():
+        # Fewer valid pixels than max_points: this is the whole valid
+        # set, i.e. no subsample happened — restore row-major order so
+        # the surface is the dense grid the host lane would build.
+        idx, words = idx[valid], words[valid]
+        order = np.argsort(idx)
+        idx, words = idx[order], words[order]
+        grid_shape = (h, w)
+
+    ys, xs = np.divmod(idx.astype(np.int64), w)
+    x2 = (words & 0xFFF).astype(np.float64)
+    y2 = ((words >> 12) & 0xFFF).astype(np.float64)
+    xf = xs.astype(np.float64)
+    yf = ys.astype(np.float64)
+
+    points3d = np.stack([xf, yf, np.hypot(xf - x2, yf - y2)], axis=1)
+    tracks = np.empty((len(idx), 2, 2), dtype=np.int32)
+    tracks[:, 0, 0] = xs
+    tracks[:, 0, 1] = ys
+    tracks[:, 1, 0] = x2.astype(np.int32)
+    tracks[:, 1, 1] = y2.astype(np.int32)
+
+    return Surface(
+        points3d=points3d,
+        tracks=tracks,
+        cameras=[affine_camera(), affine_camera()],
+        grid_shape=grid_shape,
+    )
+
+
 def triangulate_affine(correlated_points: np.ndarray) -> Surface:
     """correlated_points: (H, W, 3) int64 of (x2, y2, valid) per img1 pixel
     (the output of ops.correlation.correlate_images). Returns a Surface

@@ -1715,6 +1715,34 @@ def _finish_correlate(state_f, src1, src2, device_out):
     return packed
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _sample_word_jit(word, k: int, seed):
+    flat = word.reshape(-1)
+    valid = (flat >> 24) & 1
+    scores = jnp.where(
+        valid == 1,
+        jax.random.uniform(jax.random.PRNGKey(seed), flat.shape),
+        -1.0,
+    )
+    idx = jnp.argsort(-scores)[:k]
+    return idx.astype(jnp.int32), flat[idx]
+
+
+def sample_word_grid(word_dev, k: int, seed: int):
+    """--max-points subsample ON DEVICE: pick k uniformly-random valid
+    pixels of a compact (H, W) int32 correlation word grid (seeded, via
+    per-pixel PRNG keys + top-k) and fetch only their flat indices and
+    words — ~4 MB at k=500e3 instead of the 49 MB full-grid fetch the
+    hi-res path otherwise pushes through the slow TPU tunnel
+    (reconstruction.rs:837-844 is the shuffle+truncate being replaced;
+    the draw is uniform over valid pixels like the reference's, but a
+    different — still deterministic — sample than the host lane's
+    RandomState.choice). Entries beyond the valid count come back with
+    the valid bit clear; callers drop them."""
+    idx, words = _sample_word_jit(word_dev, k, seed)
+    return np.asarray(idx), np.asarray(words)
+
+
 def unpack_correlated(arr: np.ndarray) -> np.ndarray:
     """Host tail for a fetched device_out result: expand a compact
     (H, W) int32 word — or pass through (H, W, 3) planes — to the

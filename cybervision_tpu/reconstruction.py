@@ -250,6 +250,7 @@ class Reconstruction:
             return
 
         word = None
+        sampled_dev = None
         if ply_lane:
             word = np.asarray(correlated)
             from cybervision_tpu.config import MeshMode
@@ -272,10 +273,28 @@ class Reconstruction:
             # No correlated pixels (or an RGB/grid shape mismatch): fall
             # through to the generic path for its semantics.
         elif word_lane:
-            word = np.asarray(correlated)
+            if self.cfg.max_points is not None:
+                # Subsample on device and fetch only --max-points entries
+                # (~4 MB at 500k) instead of the full word grid (49 MB at
+                # 4032x3024) — the fetch rides the slow TPU tunnel.
+                sampled_dev = correlated
+            else:
+                word = np.asarray(correlated)
 
         with PhaseTimer("Completed triangulation post-processing", self.quiet):
-            if word is not None:
+            if sampled_dev is not None:
+                from cybervision_tpu.ops.affine_triangulation import (
+                    triangulate_affine_word_sampled,
+                )
+
+                h, w = sampled_dev.shape
+                idx, words = correlation.sample_word_grid(
+                    sampled_dev,
+                    min(self.cfg.max_points, h * w),
+                    self.cfg.ransac.seed,
+                )
+                surface = triangulate_affine_word_sampled(idx, words, h, w)
+            elif word is not None:
                 from cybervision_tpu.ops.affine_triangulation import (
                     triangulate_affine_word,
                 )

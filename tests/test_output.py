@@ -343,3 +343,50 @@ def test_triangulate_affine_word_matches_planes(rng):
     np.testing.assert_array_equal(s_sub.points3d, s_ref.points3d[keep])
     np.testing.assert_array_equal(s_sub.tracks, s_ref.tracks[keep])
     assert s_sub.grid_shape is None
+
+
+def test_sample_word_grid_device_subsample(rng):
+    """The device-side --max-points lane must draw exactly k valid
+    pixels (deterministically for a seed) whose words match the grid;
+    when fewer than k valid pixels exist it must return the full
+    triangulate_affine_word surface bit-for-bit (row-major, dense grid
+    kept)."""
+    import jax.numpy as jnp
+
+    from cybervision_tpu.ops.affine_triangulation import (
+        triangulate_affine_word,
+        triangulate_affine_word_sampled,
+    )
+    from cybervision_tpu.ops.correlation import sample_word_grid
+
+    h, w = 41, 57
+    valid = rng.rand(h, w) < 0.6
+    x2 = rng.randint(0, w, (h, w)).astype(np.int32)
+    y2 = rng.randint(0, h, (h, w)).astype(np.int32)
+    word = (x2 & 0xFFF) | ((y2 & 0xFFF) << 12) | (valid.astype(np.int32) << 24)
+    n_valid = int(valid.sum())
+
+    # Subsample case: k < n_valid.
+    k = 300
+    assert k < n_valid
+    idx, words = sample_word_grid(jnp.asarray(word), k, seed=7)
+    s = triangulate_affine_word_sampled(idx, words, h, w)
+    assert s.n_points == k and s.grid_shape is None
+    # Every drawn point is a valid grid pixel with the grid's word.
+    ys, xs = np.divmod(idx.astype(np.int64), w)
+    assert valid[ys, xs].all()
+    np.testing.assert_array_equal(words, word[ys, xs])
+    assert len(np.unique(idx)) == k  # no repeats
+    # Deterministic for a seed; a different seed draws differently.
+    idx2, _ = sample_word_grid(jnp.asarray(word), k, seed=7)
+    np.testing.assert_array_equal(idx, idx2)
+    idx3, _ = sample_word_grid(jnp.asarray(word), k, seed=8)
+    assert not np.array_equal(np.sort(idx), np.sort(idx3))
+
+    # No-subsample case: k >= n_valid -> identical to the host lane.
+    idx, words = sample_word_grid(jnp.asarray(word), n_valid + 50, seed=7)
+    s_all = triangulate_affine_word_sampled(idx, words, h, w)
+    s_ref = triangulate_affine_word(word)
+    np.testing.assert_array_equal(s_all.points3d, s_ref.points3d)
+    np.testing.assert_array_equal(s_all.tracks, s_ref.tracks)
+    assert s_all.grid_shape == (h, w)
