@@ -384,6 +384,16 @@ def build_mesh(
     if not all_polys:
         return Mesh(surface, np.zeros((0, 3), np.int32), np.zeros((0,), np.int32))
 
+    if len(all_polys) == 1:
+        # Single contributing camera (e.g. the affine pair's shared dummy
+        # camera): Delaunay triangles are already unique, so the
+        # cross-camera dedup below would be a pure reorder — skip it
+        # (0.5 s of lexsort at 1M triangles). Face order is then the
+        # triangulator's emission order; the reference makes no ordering
+        # promise (its HashMap dedup is iteration-order arbitrary,
+        # output.rs:515-516).
+        return Mesh(surface, all_polys[0], all_cams[0])
+
     polys = np.concatenate(all_polys)
     cams = np.concatenate(all_cams)
     # Dedup by vertex triple, keeping the first camera (output.rs:515-516),
