@@ -127,20 +127,38 @@ class TextureEncoder:
     """Background PNG encode of texture images into MEMORY buffers.
 
     The orchestrator starts one of these as soon as the RGB images are
-    decoded, so the multi-second hi-res texture encode overlaps dense
-    correlation and meshing instead of serializing into the save phase;
-    write_obj then just dumps the finished buffers to disk (a ~15 MB
-    file write, milliseconds). Encoding to memory rather than to the
-    final paths keeps failed runs from leaving stray texture files."""
+    decoded, so the multi-second hi-res texture encode overlaps device
+    waits (the host has few vCPUs — threads only hide TPU/tunnel time,
+    not each other); write_obj then just dumps the finished buffers to
+    disk (a ~15 MB file write, milliseconds). Encoding to memory rather
+    than to the final paths keeps failed runs from leaving stray texture
+    files.
 
-    def __init__(self, images: list[np.ndarray]):
+    sources[i], when set, marks image i's texture as a verbatim FILE
+    COPY of that path: a PNG source with no databar crop has exactly the
+    pixels the encode would produce (the texture IS the source image,
+    output.rs:992), so copying the ~7 MB file replaces seconds of zlib
+    work. The orchestrator only passes paths it has vetted (PNG
+    extension, databar_height == 0)."""
+
+    def __init__(
+        self,
+        images: list[np.ndarray],
+        sources: list[str | None] | None = None,
+    ):
         import io
         import threading
 
         self.n_images = len(images)
+        self.sources = list(sources) if sources is not None else [None] * len(images)
+        if len(self.sources) != len(images):
+            self.sources = [None] * len(images)
         self.buffers = [io.BytesIO() for _ in images]
         self.threads = []
-        for img, buf in zip(images, self.buffers):
+        for img, buf, src in zip(images, self.buffers, self.sources):
+            if src is not None:
+                self.threads.append(None)
+                continue
             t = threading.Thread(
                 target=self._encode, args=(img, buf), daemon=True
             )
@@ -152,9 +170,18 @@ class TextureEncoder:
         Image.fromarray(img).save(buf, format="PNG", compress_level=1)
 
     def write_to(self, dirname: str, stem: str) -> None:
-        for i, (t, buf) in enumerate(zip(self.threads, self.buffers)):
+        import shutil
+
+        for i, (t, buf, src) in enumerate(
+            zip(self.threads, self.buffers, self.sources)
+        ):
+            dst = os.path.join(dirname, f"{stem}-{i}.png")
+            if src is not None:
+                if os.path.abspath(src) != os.path.abspath(dst):
+                    shutil.copyfile(src, dst)
+                continue
             t.join()
-            with open(os.path.join(dirname, f"{stem}-{i}.png"), "wb") as fh:
+            with open(dst, "wb") as fh:
                 fh.write(buf.getbuffer())
 
 

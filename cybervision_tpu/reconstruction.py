@@ -470,11 +470,25 @@ class Reconstruction:
             for i in linked_images:
                 results[i] = SourceImage.load_rgb(self.filenames[i])
             if textured_obj:
+                from cybervision_tpu.images import read_metadata
                 from cybervision_tpu.output.writers import TextureEncoder
 
+                # A PNG source with no databar crop has exactly the
+                # pixels the texture encode would produce; mark it for a
+                # verbatim file copy instead of re-encoding (metadata is
+                # already cached from the load above).
+                sources = [
+                    self.filenames[i]
+                    if self.filenames[i].lower().endswith(".png")
+                    and read_metadata(self.filenames[i]).databar_height == 0
+                    else None
+                    for i in linked_images
+                ]
                 self._texture_encoder = (
                     list(linked_images),
-                    TextureEncoder([results[i] for i in linked_images]),
+                    TextureEncoder(
+                        [results[i] for i in linked_images], sources
+                    ),
                 )
 
         t = threading.Thread(target=work, daemon=True)

@@ -232,6 +232,20 @@ def test_write_obj(tmp_path, rng):
     )
     assert (tmp_path / "mis-1.png").exists()
 
+    # Source-copy lane: a vetted PNG source is copied verbatim, a None
+    # entry still encodes.
+    src = str(tmp_path / "src.png")
+    Image.fromarray(img).save(src, compress_level=9)
+    path5 = str(tmp_path / "cp.obj")
+    writers.write_obj(
+        path5, mesh, [img, img], MeshMode.TEXTURE_COORDINATES, (1, 1, 1),
+        texture_encoder=writers.TextureEncoder([img, img], [src, None]),
+    )
+    assert (tmp_path / "cp-0.png").read_bytes() == open(src, "rb").read()
+    assert np.array_equal(
+        np.asarray(Image.open(tmp_path / "cp-1.png").convert("RGB")), img
+    )
+
 
 def test_depth_image_writer(tmp_path):
     s = _toy_surface()
