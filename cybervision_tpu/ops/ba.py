@@ -65,6 +65,19 @@ from cybervision_tpu.ops.surface import MISSING, Camera
 # call (inside bundle_adjust's jax.default_device(cpu) scope).
 _module_jit = jax.jit
 
+# Relative residual-reduction convergence threshold for accepted LM steps.
+# The reference hardcodes RESIDUAL_REDUCTION_EPSILON = 0.0
+# (fundamentalmatrix.rs:538, reused by BA's loop structure,
+# triangulation.rs:2042-2146): `sqrt(rr) - sqrt(nn) < 0.0` only ever fires
+# for its ascent-bug steps that INCREASE the residual — a true descent
+# step never triggers it, so a genuinely-minimizing LM runs its full
+# iteration budget doing sub-noise-floor steps (measured: BA at 100
+# iterations ~1.5 s/run where ~15 reach the floor). A small relative
+# epsilon keeps every meaningful digit (LM converges superlinearly, so
+# reductions plunge through 1e-9 in one or two steps at the floor) while
+# cutting the budget-burning tail.
+RESIDUAL_REDUCTION_EPSILON = 1e-9
+
 
 def _residual_np(k_stack, r_stack, t_stack, points, obs, mask):
     """(T, m, 2) reprojection residuals, 0 where unobserved."""
@@ -409,7 +422,10 @@ def _bundle_adjust_jit(store, cameras, cfg, quiet=False):
             rho = (rn2 - nn2) / rho_den if rho_den != 0 else -1.0
             if rho > 0:
                 r_s, t_s, points = new_r, new_t, new_pts
-                if np.sqrt(rn2) - np.sqrt(nn2) < 0.0:
+                if (
+                    np.sqrt(rn2) - np.sqrt(nn2)
+                    < RESIDUAL_REDUCTION_EPSILON * np.sqrt(rn2)
+                ):
                     found = True
                     break
                 blocks = _ba_blocks_jit(k_stack, r_s, t_s, points, obs, mask)
@@ -590,7 +606,10 @@ def _bundle_adjust_numpy(
         if rho > 0:
             r_stack, t_stack, points, res = new_r, new_t, new_pts, new_res
             cache = None  # params changed; jacobian-derived blocks stale
-            if np.sqrt(rn2) - np.sqrt(nn2) < 0.0:
+            if (
+                np.sqrt(rn2) - np.sqrt(nn2)
+                < RESIDUAL_REDUCTION_EPSILON * np.sqrt(rn2)
+            ):
                 found = True
                 break
             mu *= max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
