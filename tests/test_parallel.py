@@ -157,6 +157,40 @@ def test_matching_sharded_equals_unsharded():
     np.testing.assert_array_equal(np.asarray(gok), np.asarray(sok))
 
 
+@needs8
+def test_p3p_score_sharded_equals_unsharded(monkeypatch):
+    """Device P3P candidate scoring shards its hypothesis axis over the
+    pipeline mesh (ops.sfm_device._p3p_score_sharded); the sharded and
+    single-device paths must agree exactly — the RANSAC winner selection
+    is a discrete (count, max-error) comparison with no float slack."""
+    from cybervision_tpu.ops import sfm_device
+
+    rng = np.random.RandomState(11)
+    t = 700
+    pts3d = rng.normal(0, 1, (t, 3)) + np.array([0, 0, 5.0])
+    k = np.array([[300.0, 0, 160], [0, 300.0, 128], [0, 0, 1]])
+    proj_true = k @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    h3 = np.concatenate([pts3d, np.ones((t, 1))], axis=1)
+    uv = h3 @ proj_true.T
+    pts2d = uv[:, :2] / uv[:, 2:3] + rng.normal(0, 0.5, (t, 2))
+    const_err = np.zeros(t)
+
+    b = 96
+    noise = rng.normal(0, 0.01, (b, 3, 4))
+    proj = proj_true[None] + noise
+    samp = rng.randint(0, t, (b, 3))
+    s2d = pts2d[samp]
+    s3d = pts3d[samp]
+
+    args = (proj, s2d, s3d, pts3d, pts2d, const_err, 50.0, 25.0)
+    sh = sfm_device.p3p_score(*args)
+    monkeypatch.setenv("CVTPU_NO_SHARD", "1")
+    single = sfm_device.p3p_score(*args)
+    for a, b_ in zip(sh, single):
+        np.testing.assert_array_equal(a, b_)
+    assert sh[0].max() > 0  # near-true candidates actually score
+
+
 def test_dryrun_multichip():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
