@@ -16,10 +16,15 @@ extra carries the other BASELINE.md metrics:
   * dense_correlation_mpix_per_s_per_chip — processed pixels (both sweep
     directions, every pyramid level) / dense-correlation wall-clock,
     for the affine and (separately) perspective parameter sets,
-  * sfm_3view_320x256_to_merged_ply_seconds — multi-image perspective
-    SFM to a merged mesh (BASELINE config #5),
-  * hires_4032x3024_texture_obj_seconds — BASELINE config #4, opt-in
-    via CVTPU_BENCH_HIRES=1 (adds minutes).
+  * phases_ply_seconds — per-phase breakdown of the best headline run
+    (sparse/ransac/dense/triangulation/output), the structured form of
+    the reference's wall-clock prints (reconstruction.rs:316-318),
+  * sfm_{3,5}view_320x256_to_merged_ply_seconds — multi-image
+    perspective SFM to a merged mesh (BASELINE config #5) at the
+    reference's FULL default RANSAC budgets, with per-run pair-failure
+    counts and phase breakdowns,
+  * hires_4032x3024_texture_obj_seconds — BASELINE config #4, on by
+    default (CVTPU_BENCH_HIRES=0 skips).
 """
 
 import json
@@ -56,12 +61,43 @@ def save_pair(d, h, w):
 
 
 def run(paths, out_path, cfg):
+    rec, dt, _ = run_full(paths, out_path, cfg)
+    return dt
+
+
+# Stable snake-case keys for the bench's per-phase breakdown (item:
+# regressions in non-dense phases must be driver-visible, not only in
+# ad-hoc PERF.md notes). Keys map the reference's phase prints
+# (reconstruction.rs:316-318 and per-phase prints).
+_PHASE_KEYS = {
+    "Extracted feature points": "sparse_features",
+    "Matched keypoints": "sparse_matching",
+    "Completed RANSAC fitting": "ransac",
+    "Completed dense correlation": "dense_correlation",
+    "Added dense image pair": "track_extend",
+    "Completed triangulation post-processing": "triangulation",
+    "Saved result": "output",
+    "Completed reconstruction": "total",
+}
+
+
+def run_full(paths, out_path, cfg):
+    """One pipeline run -> (Reconstruction, seconds, phase breakdown)."""
     from cybervision_tpu.reconstruction import Reconstruction
+    from cybervision_tpu.utils.progress import collect_phases
 
     rec = Reconstruction(list(paths), out_path, cfg, quiet=True)
+    acc = collect_phases()
     t0 = time.time()
     rec.run()
-    return time.time() - t0
+    dt = time.time() - t0
+    phases = {}
+    for phrase, secs in acc.items():
+        key = _PHASE_KEYS.get(phrase)
+        if key is None:  # per-image merge timers etc.
+            key = "track_merge" if phrase.startswith("Merged tracks") else phrase
+        phases[key] = round(phases.get(key, 0.0) + secs, 3)
+    return rec, dt, phases
 
 
 def correlation_throughput(p1, p2, n_runs=3, projection=None):
@@ -107,13 +143,19 @@ def correlation_throughput(p1, p2, n_runs=3, projection=None):
     return pixels / dt / 1e6, dt
 
 
-def sfm_three_view_seconds(td, n_runs=3):
-    """Multi-image perspective SFM e2e: 3 rendered 320x256 views of one
+def sfm_views_seconds(td, n_views=3, n_runs=3):
+    """Multi-image perspective SFM e2e: n rendered 320x256 views of one
     world surface -> pose recovery (device P3P RANSAC) -> dense
     correlation of every linked pair (software-pipelined) -> track
     merge -> DLT -> bundle adjustment -> merged vertex-colored PLY.
-    RANSAC iteration counts are the e2e test's moderated ones
-    (tests/test_pipeline_perspective.py) so the bench stays bounded."""
+
+    RANSAC budgets are the DEFAULTS — the reference's full budgets
+    (ransac_k=1,000,000 with 50k-inlier early exit,
+    fundamentalmatrix.rs:18-28; P3P ransac_k=100,000,
+    triangulation.rs:22) — because device-batched RANSAC makes the full
+    search cheap; no moderation (VERDICT r2 missing #2).
+
+    Returns (best_seconds, pair_failures_per_run, phases_of_best)."""
     import numpy as np
     from PIL import Image
 
@@ -121,17 +163,15 @@ def sfm_three_view_seconds(td, n_runs=3):
         InterpolationMode,
         MeshMode,
         ProjectionMode,
-        RansacConfig,
         ReconstructionConfig,
-        TriangulationConfig,
     )
-    from tests.perspective_scene import pair_cam, render_views, third_cam
+    from tests.perspective_scene import multi_cams, render_views
 
     rng = np.random.RandomState(3)
-    views = render_views(rng, [pair_cam(), third_cam()])
+    views = render_views(rng, multi_cams(n_views - 1))
     paths = []
     for i, img in enumerate(views):
-        p = os.path.join(td, f"sfm{i}.png")
+        p = os.path.join(td, f"sfm{n_views}_{i}.png")
         Image.fromarray(img).save(p)
         paths.append(p)
     cfg = ReconstructionConfig(
@@ -139,27 +179,23 @@ def sfm_three_view_seconds(td, n_runs=3):
         interpolation=InterpolationMode.DELAUNAY,
         mesh=MeshMode.VERTEX_COLORS,
         focal_length=43,
-        ransac=RansacConfig(
-            ransac_k_perspective=16384,
-            check_interval=4096,
-            ransac_d_perspective=60,
-            ransac_d_early_exit_perspective=150,
-        ),
-        triangulation=TriangulationConfig(ransac_k=4000, check_interval=1000),
     )
-    run(paths, os.path.join(td, "sfm_warm.ply"), cfg)
-    return min(
-        run(paths, os.path.join(td, f"sfm{i}.ply"), cfg)
+    run(paths, os.path.join(td, f"sfm{n_views}_warm.ply"), cfg)
+    results = [
+        run_full(paths, os.path.join(td, f"sfm{n_views}_{i}.ply"), cfg)
         for i in range(n_runs)
-    )
+    ]
+    rec, dt, phases = min(results, key=lambda r: r[1])
+    failures = [r[0].ransac_failures + r[0].dense_failures for r in results]
+    return dt, failures, phases
 
 
 def hires_texture_obj_seconds(td, n_runs=2):
     """BASELINE config #4: a 4032x3024 pair (the reference's max
     practical size, README.md:83) with --max-points and a
-    texture-coordinates OBJ through the full pipeline. Env-gated
-    (CVTPU_BENCH_HIRES=1) — it adds minutes of compile + host mesh work
-    to the default bench run."""
+    texture-coordinates OBJ through the full pipeline. On by default
+    (VERDICT r2 missing #4 — the driver record must carry this number);
+    CVTPU_BENCH_HIRES=0 skips it when iterating locally."""
     from cybervision_tpu.config import (
         InterpolationMode,
         MeshMode,
@@ -281,19 +317,24 @@ def main():
         )
         # The PLY config carries ~1 s of host-side work (mesh/writer/IO)
         # exposed to the bursty host vCPU (20x swings) — more reps for a
-        # stable minimum.
-        ply_s = min(
-            run([p1, p2], os.path.join(td, f"out{i}.ply"), cfg_ply)
+        # stable minimum. The per-phase breakdown of the best run rides
+        # along so non-dense regressions are driver-visible.
+        ply_runs = [
+            run_full([p1, p2], os.path.join(td, f"out{i}.ply"), cfg_ply)
             for i in range(8)
-        )
+        ]
+        _, ply_s, ply_phases = min(ply_runs, key=lambda r: r[1])
         mpix_s, corr_s = correlation_throughput(p1, p2)
         persp_mpix_s, persp_corr_s = correlation_throughput(
             p1, p2, projection=ProjectionMode.PERSPECTIVE
         )
-        sfm_s = sfm_three_view_seconds(td)
+        sfm_s, sfm_failures, sfm_phases = sfm_views_seconds(td, n_views=3)
+        sfm5_s, sfm5_failures, sfm5_phases = sfm_views_seconds(
+            td, n_views=5, n_runs=2
+        )
         hires_s = (
             hires_texture_obj_seconds(td)
-            if os.environ.get("CVTPU_BENCH_HIRES")
+            if os.environ.get("CVTPU_BENCH_HIRES", "1") != "0"
             else None
         )
 
@@ -310,7 +351,14 @@ def main():
             "perspective_dense_correlation_mpix_per_s_per_chip": round(
                 persp_mpix_s, 1
             ),
+            "phases_ply_seconds": ply_phases,
             "sfm_3view_320x256_to_merged_ply_seconds": round(sfm_s, 3),
+            "sfm_3view_pair_failures_per_run": sfm_failures,
+            "sfm_3view_phases_seconds": sfm_phases,
+            "sfm_5view_320x256_to_merged_ply_seconds": round(sfm5_s, 3),
+            "sfm_5view_pair_failures_per_run": sfm5_failures,
+            "sfm_5view_phases_seconds": sfm5_phases,
+            "ransac_budget": "reference defaults (k=1e6, P3P k=1e5)",
         },
     }
     if hires_s is not None:

@@ -79,6 +79,13 @@ class CorrelationState(NamedTuple):
     valid: jnp.ndarray
 
 
+# Host-side record of the last correlate_images dispatch plan — which
+# pyramid levels took the Pallas kernel and whether a mesh was active.
+# Written at trace/dispatch time (plain Python), read by tests asserting
+# the multi-chip path really exercises the hot kernel.
+_LAST_PLAN: dict | None = None
+
+
 def empty_state(h: int, w: int) -> CorrelationState:
     return CorrelationState(
         pos=jnp.zeros((h, w, 2), jnp.int32),
@@ -711,6 +718,18 @@ def _kernel_row_len(
     return max(w1, w2)
 
 
+def _kernel_row_count(
+    wtr: tuple[str, int, int] | None, h1: int, w1: int
+) -> int:
+    """Number of rows the Pallas sweep kernel iterates for one sweep
+    direction — the axis ncc_sweep_sharded shards over a mesh.
+    Horizontal corridors transpose the problem, so their row count is
+    the source image WIDTH."""
+    if wtr is not None and wtr[0] == "horiz":
+        return w1
+    return h1
+
+
 def _stripe_warps_fast(
     img2f: jnp.ndarray,
     center: jnp.ndarray,
@@ -1052,7 +1071,7 @@ def refine_pass(
     jax.jit,
     static_argnames=(
         "corridor_size", "window", "interpret", "threshold", "min_stdev",
-        "warp_trange",
+        "warp_trange", "mesh",
     ),
 )
 def refine_pass_pallas(
@@ -1070,11 +1089,18 @@ def refine_pass_pallas(
     interpret: bool = False,
     warp_trange: tuple[str, int, int] | None = None,
     warp_tmin=0,
+    mesh=None,
 ) -> CorrelationState:
     """refine_pass with the sweep running as the Pallas kernel
     (ops.pallas_ncc.ncc_sweep): same prologue (stats, epipolar fields,
     corridor ranges, per-stripe base-warp gathers), on-chip hypothesis
-    loop. Math-identical to refine_pass (tested via interpret mode)."""
+    loop. Math-identical to refine_pass (tested via interpret mode).
+
+    With a mesh, the prologue runs under GSPMD (row-sharded by the
+    caller's constraints) and the sweep itself runs as
+    pallas_ncc.ncc_sweep_sharded — every device executes the kernel on
+    its row shard with ppermute halo exchange, so multi-chip takes the
+    SAME hot path as one chip."""
     from cybervision_tpu.ops import pallas_ncc
 
     if warp_trange is not None and warp_trange[0] == "horiz":
@@ -1107,6 +1133,7 @@ def refine_pass_pallas(
             interpret=interpret,
             warp_trange=("vert",) + warp_trange[1:],
             warp_tmin=warp_tmin,
+            mesh=mesh,
         )
         return CorrelationState(
             pos=out.pos.transpose(1, 0, 2)[:, :, ::-1],
@@ -1139,7 +1166,12 @@ def refine_pass_pallas(
         warp_trange, warp_tmin,
     ))
 
-    best_corr, best_x, best_y = pallas_ncc.ncc_sweep(
+    sweep_fn = (
+        pallas_ncc.ncc_sweep
+        if mesh is None
+        else functools.partial(pallas_ncc.ncc_sweep_sharded, mesh)
+    )
+    best_corr, best_x, best_y = sweep_fn(
         img1,
         vert.astype(jnp.float32),
         c_f,
@@ -1397,15 +1429,18 @@ def _pyramid_level_body(
     warp_trange_r: tuple[str, int, int] | None = None,
     warp_tmin_f=0,
     warp_tmin_r=0,
+    pallas_interpret: bool = False,
 ):
     """One full pyramid level — forward + reverse sweeps and both
     cross-checks fused into a single program (each dispatch over the TPU
     tunnel costs 10-30 ms; a level is 6 logical steps).
 
     When a mesh is given, every per-level array is pinned row-sharded
-    over its 'dev' axis: the sweeps' shifted windows and box filters get
-    halo collective-permutes from GSPMD, and the cross-check's +-4-cell
-    dilations likewise — the multi-chip spatial-parallel path.
+    over its 'dev' axis: the Pallas sweep runs per-device with ppermute
+    halo exchange (ncc_sweep_sharded); the scan-path sweeps' shifted
+    windows and box filters get halo collective-permutes from GSPMD,
+    and the cross-check's +-4-cell dilations likewise — the multi-chip
+    spatial-parallel path.
     """
     if mesh is not None:
         from cybervision_tpu.parallel import constrain_rows
@@ -1421,7 +1456,13 @@ def _pyramid_level_body(
             im2, im1, f_rev, scale, threshold, min_stdev, corridor_size
         )
     else:
-        sweep = refine_pass_pallas if use_pallas else refine_pass
+        sweep = (
+            functools.partial(
+                refine_pass_pallas, mesh=mesh, interpret=pallas_interpret
+            )
+            if use_pallas
+            else refine_pass
+        )
         state_f = sweep(
             im1, im2, state_f, f_fwd, scale, threshold, min_stdev,
             min_range, extend_range, corridor_size, window_f,
@@ -1447,7 +1488,7 @@ pyramid_level_step = functools.partial(
     static_argnames=(
         "corridor_size", "window_f", "window_r", "first", "use_pallas",
         "threshold", "min_stdev", "mesh", "exact_cross_check",
-        "warp_trange_f", "warp_trange_r",
+        "warp_trange_f", "warp_trange_r", "pallas_interpret",
     ),
 )(_pyramid_level_body)
 
@@ -1456,7 +1497,7 @@ pyramid_level_step = functools.partial(
     jax.jit,
     static_argnames=(
         "levels", "corridor_size", "threshold", "min_stdev",
-        "exact_cross_check",
+        "exact_cross_check", "mesh", "pallas_interpret",
     ),
 )
 def pyramid_program(
@@ -1472,6 +1513,8 @@ def pyramid_program(
     extend_range,
     corridor_size: int,
     exact_cross_check: bool,
+    mesh=None,
+    pallas_interpret: bool = False,
 ):
     """The WHOLE coarse-to-fine pyramid as one program.
 
@@ -1498,12 +1541,13 @@ def pyramid_program(
             win_r,
             first=si == 0,
             use_pallas=lvl_pallas,
-            mesh=None,
+            mesh=mesh,
             exact_cross_check=exact_cross_check,
             warp_trange_f=wtr_f,
             warp_trange_r=wtr_r,
             warp_tmin_f=tmins[si, 0],
             warp_tmin_r=tmins[si, 1],
+            pallas_interpret=pallas_interpret,
         )
     return state_f
 
@@ -1551,14 +1595,18 @@ def correlate_images(
 
     # The Pallas sweep kernel runs on real TPUs; the XLA scan formulation
     # covers CPU (and doubles as the kernel's reference implementation).
-    # CVTPU_NO_PALLAS=1 forces the scan path on TPU (debug/fallback).
+    # CVTPU_NO_PALLAS=1 forces the scan path on TPU (debug/fallback);
+    # CVTPU_INTERPRET_PALLAS=1 runs the Pallas path in interpret mode on
+    # non-TPU backends (tests of the sharded kernel path).
     # active_platform (not jax.default_backend) so --mode=cpu's
     # jax.default_device(cpu) context on a TPU host takes the scan path.
     from cybervision_tpu.parallel import active_platform
 
-    use_pallas = active_platform() == "tpu" and not os.environ.get(
-        "CVTPU_NO_PALLAS"
-    )
+    on_tpu = active_platform() == "tpu"
+    use_pallas = (
+        on_tpu or bool(os.environ.get("CVTPU_INTERPRET_PALLAS"))
+    ) and not os.environ.get("CVTPU_NO_PALLAS")
+    pallas_interpret = not on_tpu
 
     # Upload each image once; pyramid levels resize on device (the
     # reference Lanczos3-resizes on the host per scale,
@@ -1574,16 +1622,39 @@ def correlate_images(
     mesh = pipeline_mesh()
     if mesh is not None:
         full1, full2 = shard_rows(mesh, (full1, full2))
-        # The Pallas sweep kernel is written for one chip's VMEM; under a
-        # mesh the XLA scan formulation runs sharded instead (GSPMD cannot
-        # partition a pallas_call it didn't write).
-        use_pallas = False
+    n_dev = 1 if mesh is None else mesh.devices.size
 
-    if cfg.corridor_window_fixed is not None and mesh is None:
+    def _level_pallas(wtr_f, wtr_r, win_f, win_r, lh1, lw1, lh2, lw2):
+        """Can this level run the Pallas sweep (both directions)? The
+        VMEM gate sizes the kernel's row length; under a mesh each
+        device's row shard must additionally be at least one halo deep
+        (pallas_ncc.shardable_rows) — smaller (coarse) levels run the
+        GSPMD scan path instead."""
+        from cybervision_tpu.ops.pallas_ncc import pick_tile_h, shardable_rows
+
+        ok = (
+            pick_tile_h(
+                _kernel_row_len(wtr_f, lh1, lw1, lh2, lw2), win_f, cs
+            ) is not None
+            and pick_tile_h(
+                _kernel_row_len(wtr_r, lh2, lw2, lh1, lw1), win_r, cs
+            ) is not None
+        )
+        if ok and mesh is not None:
+            ok = shardable_rows(
+                _kernel_row_count(wtr_f, lh1, lw1), n_dev, win_f
+            ) and shardable_rows(
+                _kernel_row_count(wtr_r, lh2, lw2), n_dev, win_r
+            )
+        return ok
+
+    plan = {"mesh": mesh is not None, "pallas_levels": []}
+    global _LAST_PLAN
+    _LAST_PLAN = plan
+
+    if cfg.corridor_window_fixed is not None:
         # Fixed windows -> no host decisions between levels: run the
         # whole pyramid as ONE program (see pyramid_program).
-        from cybervision_tpu.ops.pallas_ncc import pick_tile_h
-
         win = cfg.corridor_window_fixed
         levels = []
         tmins = []
@@ -1599,13 +1670,11 @@ def correlate_images(
             lvl_pallas = (
                 use_pallas
                 and si > 0
-                and pick_tile_h(
-                    _kernel_row_len(wtr_f, lh1, lw1, lh2, lw2), win, cs
-                ) is not None
-                and pick_tile_h(
-                    _kernel_row_len(wtr_r, lh2, lw2, lh1, lw1), win, cs
-                ) is not None
+                and _level_pallas(
+                    wtr_f, wtr_r, win, win, lh1, lw1, lh2, lw2
+                )
             )
+            plan["pallas_levels"].append(lvl_pallas)
             levels.append((scale, lvl_pallas, win, win, wtr_f, wtr_r))
             tmins.append((tmin_f, tmin_r))
         state_f = pyramid_program(
@@ -1613,6 +1682,8 @@ def correlate_images(
             jnp.asarray(np.array(tmins, np.int32)), tuple(levels),
             threshold, min_stdev, min_range, extend_range, cs,
             cfg.exact_cross_check,
+            mesh=mesh,
+            pallas_interpret=pallas_interpret,
         )
         if progress is not None:
             progress.report_status(1.0)
@@ -1626,16 +1697,11 @@ def correlate_images(
         im2 = _device_resize(full2, scale)
         lh1, lw1 = im1.shape
         lh2, lw2 = im2.shape
-        # Gather-free warps assume unsharded arrays (the per-band
-        # dynamic slices would cross shard boundaries); the sharded
-        # path keeps the gather form GSPMD knows how to partition.
         wtr_f, tmin_f = split_trange(
-            None if mesh is not None
-            else warp_shift_range(f, scale, lh1, lw1, lh2, lw2)
+            warp_shift_range(f, scale, lh1, lw1, lh2, lw2)
         )
         wtr_r, tmin_r = split_trange(
-            None if mesh is not None
-            else warp_shift_range(f.T, scale, lh2, lw2, lh1, lw1)
+            warp_shift_range(f.T, scale, lh2, lw2, lh1, lw1)
         )
         win_f = win_r = cfg.corridor_window_fixed or 16
         if si > 0 and cfg.corridor_window_fixed is None:
@@ -1651,23 +1717,12 @@ def correlate_images(
             win_r = _bucket(int(halves[1]), cfg)
         if si == 0:
             state_f = state_r = empty_state(2, 2)  # placeholders (unused)
-        level_pallas = use_pallas
-        if level_pallas:
-            from cybervision_tpu.ops.pallas_ncc import pick_tile_h
-
-            # VMEM gate on the KERNEL's row length: horizontal corridors
-            # transpose the problem (refine_pass_pallas), so their row
-            # length is the image HEIGHT, not the width.
-            fits = (
-                pick_tile_h(
-                    _kernel_row_len(wtr_f, lh1, lw1, lh2, lw2), win_f, cs
-                ) is not None
-                and pick_tile_h(
-                    _kernel_row_len(wtr_r, lh2, lw2, lh1, lw1), win_r, cs
-                ) is not None
-            )
-            if not fits:
-                level_pallas = False  # working set over VMEM: scan path
+        level_pallas = (
+            use_pallas
+            and si > 0
+            and _level_pallas(wtr_f, wtr_r, win_f, win_r, lh1, lw1, lh2, lw2)
+        )
+        plan["pallas_levels"].append(level_pallas)
         state_f, state_r = pyramid_level_step(
             im1, im2, state_f, state_r, f_fwd, f_rev, scale, threshold,
             min_stdev, min_range, extend_range, cs, win_f, win_r,
@@ -1679,6 +1734,7 @@ def correlate_images(
             warp_trange_r=wtr_r,
             warp_tmin_f=tmin_f,
             warp_tmin_r=tmin_r,
+            pallas_interpret=pallas_interpret,
         )
         done += scale * scale
         if progress is not None:

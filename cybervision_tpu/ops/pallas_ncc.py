@@ -102,6 +102,7 @@ def _sweep_kernel(
     end_hbm,
     pok_hbm,
     w0_hbm,  # (n_o, HP + 2hk, W + 2hk)
+    rowg_smem,  # (1, 1) int32: global row offset of this shard (0 unsharded)
     corr_hbm,  # outputs (HP, W)
     x_hbm,
     y_hbm,
@@ -140,9 +141,16 @@ def _sweep_kernel(
     ("vert"/"horiz" — affine F, known from warp_shift_range) or None
     (perspective F: per-pixel `vert` field). A static axis compiles only
     the needed roll direction and drops every per-pixel vert select —
-    the dual-variant path does ~2x the roll work per u step."""
+    the dual-variant path does ~2x the roll work per u step.
+
+    Sharded multi-chip runs (ncc_sweep_sharded) hand each device a row
+    shard whose field slabs carry real neighbor halos; `h` is then the
+    GLOBAL image height and rowg_smem the shard's global row offset, so
+    the src_ok bounds test global geometry exactly as one device would.
+    """
     wd = window
     f32 = jnp.float32
+    row_g = rowg_smem[0, 0]
 
     def ru(x, m):
         return ((x + m - 1) // m) * m
@@ -229,7 +237,9 @@ def _sweep_kernel(
             vert_full = s_vert[:]
 
         row_ids = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0) + row0
+            jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 0)
+            + row0
+            + row_g
         )
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 1)
 
@@ -423,7 +433,7 @@ def _sweep_kernel(
     jax.jit,
     static_argnames=(
         "window", "corridor_size", "tile_h", "interpret", "h2", "w2",
-        "threshold", "min_stdev", "axis",
+        "threshold", "min_stdev", "axis", "row_halo", "h_total",
     ),
 )
 def ncc_sweep(
@@ -448,13 +458,25 @@ def ncc_sweep(
     tile_h: int | None = None,
     interpret: bool = False,
     axis: str | None = None,
+    row_halo: bool = False,
+    row0_g=None,
+    h_total: int | None = None,
 ):
     """Sweep over row tiles. All field inputs are (H, W) f32 (vert/p_ok as
     0/1); w0 is (n_o, H, W) f32 base warps. axis statically fixes the
     epipolar dominant axis ("vert"/"horiz", see _sweep_kernel) — the
     `vert` input is then ignored.
+
+    row_halo=True is the multi-chip form (ncc_sweep_sharded): the rolled
+    fields arrive with their margin rows attached as REAL neighbor-shard
+    halos (img1: KS rows, vert/center/coeff/add: `window` rows, w0:
+    KS+window rows along axis 1) instead of the zero padding this driver
+    would add, `row0_g` is the shard's global row offset and `h_total`
+    the global image height for the kernel's src_ok bounds. H below is
+    then the shard-local row count (taken from avg1, never haloed).
+
     Returns (best_corr f32, best_x i32, best_y i32) at (H, W)."""
-    h, w = img1.shape
+    h, w = avg1.shape
     n_o = w0.shape[0]
     wd = window
     hk = KS + wd
@@ -475,8 +497,16 @@ def ncc_sweep(
     # HBM layouts sized so every DMA slice shape is (8, 128)-aligned:
     # columns rounded up to 128 (left halo exact, slack on the right),
     # rows given 8 extra tail rows for the rounded-up slice spans.
+    # Layout invariant either way: image row i sits at index i + m, so
+    # the bottom halo (row_halo) occupies exactly the indices the
+    # unsharded layout zero-fills.
     def pad(x, m):
         cols = ru(w + 2 * m, 128)
+        if row_halo:
+            return jnp.pad(
+                x.astype(jnp.float32),
+                ((0, pad_h + 8), (m, cols - w - m)),
+            )
         return jnp.pad(
             x.astype(jnp.float32),
             ((m, pad_h + m + 8), (m, cols - w - m)),
@@ -504,9 +534,19 @@ def ncc_sweep(
         )
 
     w0_cols = ru(w + 2 * hk, 128)
-    w0_p = jnp.pad(
-        w0.astype(jnp.float32),
-        ((0, 0), (hk, pad_h + hk + 8), (hk, w0_cols - w - hk)),
+    if row_halo:
+        w0_p = jnp.pad(
+            w0.astype(jnp.float32),
+            ((0, 0), (0, pad_h + 8), (hk, w0_cols - w - hk)),
+        )
+    else:
+        w0_p = jnp.pad(
+            w0.astype(jnp.float32),
+            ((0, 0), (hk, pad_h + hk + 8), (hk, w0_cols - w - hk)),
+        )
+
+    rowg = jnp.reshape(
+        jnp.asarray(0 if row0_g is None else row0_g, jnp.int32), (1, 1)
     )
 
     kernel = functools.partial(
@@ -519,7 +559,7 @@ def ncc_sweep(
         tile_h=tile_h,
         n_tiles=n_tiles,
         w=w,
-        h=h,
+        h=h if h_total is None else h_total,
         h2=h2,
         w2=w2,
         axis=axis,
@@ -532,7 +572,8 @@ def ncc_sweep(
     ]
     corr, bx, by = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 11,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 11
+        + [pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_shape=out_shape,
         scratch_shapes=[
@@ -572,10 +613,141 @@ def ncc_sweep(
         interpret=interpret,
     )(
         img1_p, vert_p, cen_p, coe_p, add_p, pad0(avg1), pad0(isd1),
-        pad0(start), pad0(end), pad0(p_ok), w0_p,
+        pad0(start), pad0(end), pad0(p_ok), w0_p, rowg,
     )
     return (
         corr[:h, :w],
         bx[:h, :w].astype(jnp.int32),
         by[:h, :w].astype(jnp.int32),
     )
+
+
+def shardable_rows(rows: int, n_dev: int, window: int) -> bool:
+    """True when an image with `rows` kernel rows can run the sharded
+    sweep on n_dev devices: each shard must be at least one halo deep
+    (KS + window rows), since the halo exchange is single-hop ppermute.
+    Levels below this run the GSPMD scan path instead (they are the
+    cheap coarse levels)."""
+    return -(-rows // n_dev) >= KS + window
+
+
+def ncc_sweep_sharded(
+    mesh,
+    img1,
+    vert,
+    center,
+    coeff,
+    add,
+    avg1,
+    isd1,
+    start,
+    end,
+    p_ok,
+    w0,
+    *,
+    threshold: float,
+    min_stdev: float,
+    window: int,
+    corridor_size: int,
+    h2: int,
+    w2: int,
+    interpret: bool = False,
+    axis: str | None = None,
+):
+    """ncc_sweep over a device mesh: image rows shard over the mesh's
+    first axis, each device runs the SAME Pallas kernel on its shard, and
+    the only communication is a single-hop ppermute halo exchange over
+    ICI (the multi-chip analog of the reference's row-partitioned rayon
+    iteration, data.rs:164-340, and of its corridor segmentation
+    discipline, gpu/mod.rs:31-35).
+
+    Halos per field mirror the kernel's row margins: img1 KS rows (box
+    filter), the rolled fields (vert/center/coeff/add) `window` rows
+    (u-roll reach), w0 KS+window rows (roll + box). ppermute leaves
+    non-receiving edge devices zero-filled — exactly the zero padding the
+    unsharded driver applies at the true image boundary — and the kernel
+    masks with GLOBAL row ids (row0_g) and the global height, so the
+    sharded result is bit-identical to the single-device sweep.
+    """
+    ax = mesh.axis_names[0]
+    n = mesh.devices.size
+    h, w = avg1.shape
+    hs = -(-h // n)
+    hp = hs * n
+    rpad = hp - h
+    if rpad:
+        def padr(x):
+            return jnp.pad(x, ((0, rpad), (0, 0)))
+
+        img1, vert, center, coeff, add, avg1, isd1, start, end, p_ok = (
+            padr(x)
+            for x in (
+                img1, vert, center, coeff, add, avg1, isd1, start, end,
+                p_ok,
+            )
+        )
+        w0 = jnp.pad(w0, ((0, 0), (0, rpad), (0, 0)))
+
+    wd = window
+    hk = KS + wd
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+
+    def halo(x, m, raxis=0):
+        """Attach m rows of the previous/next shard along raxis;
+        ppermute zero-fills the global top/bottom edges."""
+        lo = jax.lax.slice_in_dim(x, x.shape[raxis] - m, x.shape[raxis], axis=raxis)
+        hi = jax.lax.slice_in_dim(x, 0, m, axis=raxis)
+        top = jax.lax.ppermute(lo, ax, fwd)
+        bot = jax.lax.ppermute(hi, ax, bwd)
+        return jnp.concatenate([top, x, bot], axis=raxis)
+
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ax, *([None] * 1))
+
+    @_ft.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(row,) * 10 + (P(None, ax, None),),
+        out_specs=(row, row, row),
+        # pallas_call's out ShapeDtypeStructs carry no vma annotation;
+        # varying-across-mesh checking can't see through the kernel.
+        check_vma=False,
+    )
+    def run(img1_l, vert_l, cen_l, coe_l, add_l, avg1_l, isd1_l, start_l,
+            end_l, pok_l, w0_l):
+        row0_g = jax.lax.axis_index(ax).astype(jnp.int32) * jnp.int32(hs)
+        return ncc_sweep(
+            halo(img1_l, KS),
+            halo(vert_l, wd) if axis is None else vert_l,
+            halo(cen_l, wd),
+            halo(coe_l, wd),
+            halo(add_l, wd),
+            avg1_l,
+            isd1_l,
+            start_l,
+            end_l,
+            pok_l,
+            halo(w0_l, hk, raxis=1),
+            threshold=threshold,
+            min_stdev=min_stdev,
+            window=window,
+            corridor_size=corridor_size,
+            h2=h2,
+            w2=w2,
+            interpret=interpret,
+            axis=axis,
+            row_halo=True,
+            row0_g=row0_g,
+            h_total=h,
+        )
+
+    corr, bx, by = run(
+        img1, vert, center, coeff, add, avg1, isd1, start, end, p_ok, w0
+    )
+    if rpad:
+        corr, bx, by = corr[:h], bx[:h], by[:h]
+    return corr, bx, by

@@ -1,4 +1,4 @@
-from cybervision_tpu.parallel.mesh import active_platform, make_mesh, pipeline_mesh
+from cybervision_tpu.parallel.mesh import active_platform, pipeline_mesh
 from cybervision_tpu.parallel.sharding import (
     assert_spans_mesh,
     constrain_rows,
@@ -7,7 +7,6 @@ from cybervision_tpu.parallel.sharding import (
 )
 
 __all__ = [
-    "make_mesh",
     "pipeline_mesh",
     "active_platform",
     "assert_spans_mesh",

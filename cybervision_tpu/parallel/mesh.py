@@ -1,20 +1,23 @@
 """Device-mesh construction for multi-chip scaling.
 
 The reference is a single-process, single-GPU tool (SURVEY.md §2: no
-distributed backend). The TPU framework scales over a
-jax.sharding.Mesh instead:
+distributed backend). The TPU framework scales over a flat
+jax.sharding.Mesh ('dev',) instead — one axis, three uses:
 
-  * axis "hyp"  — RANSAC hypothesis batches (data-parallel analog): each
+  * RANSAC hypothesis batches shard over it (data-parallel analog): each
     chip solves and scores an independent slice of the hypothesis batch;
     the winner reduces with a max over (count, -error).
-  * axis "tile" — image-row tiles (sequence/spatial-parallel analog): the
-    dense sweep's box filters and shifts have an 11+2*window halo, which
-    XLA materializes as collective-permutes along "tile" over ICI.
-  * descriptor matching shards the image-2 table over "hyp" and reduces
+  * the dense sweep shards image rows over it (sequence/spatial-parallel
+    analog): the Pallas kernel runs per-device with an explicit ppermute
+    halo exchange (ops.pallas_ncc.ncc_sweep_sharded), and the scan-path
+    box filters/shifts get their 11+2*window halos as GSPMD
+    collective-permutes along 'dev' over ICI.
+  * descriptor matching shards the image-2 table over it and reduces
     the argmin (tensor-parallel analog over the contraction output).
 
-Collectives ride ICI via jit + sharding constraints — the XLA recipe:
-annotate inputs, let the compiler insert psum/ppermute.
+Collectives ride ICI via jit + sharding constraints (or explicit
+ppermute inside shard_map) — the XLA recipe: annotate inputs, let the
+compiler insert psum/ppermute.
 """
 
 from __future__ import annotations
@@ -69,29 +72,3 @@ def pipeline_mesh(min_devices: int = 2) -> Mesh | None:
     if key not in _PIPELINE_MESH:
         _PIPELINE_MESH[key] = Mesh(np.array(devices), ("dev",))
     return _PIPELINE_MESH[key]
-
-
-def make_mesh(n_devices: int | None = None, tile_axis: int | None = None) -> Mesh:
-    """(hyp, tile) mesh over the first n devices. tile_axis picks the
-    size of the row-tile axis (defaults to the largest power of two
-    <= sqrt(n))."""
-    devices = jax.devices()
-    if n_devices is None:
-        n_devices = len(devices)
-    if len(devices) < n_devices:
-        raise RuntimeError(
-            f"make_mesh: requested {n_devices} devices but only "
-            f"{len(devices)} visible ({devices[0].platform}); set "
-            "XLA_FLAGS=--xla_force_host_platform_device_count=<n> before "
-            "importing jax to emulate a multi-chip mesh on CPU"
-        )
-    devices = devices[:n_devices]
-    if tile_axis is None:
-        tile_axis = 1
-        while tile_axis * tile_axis * 4 <= n_devices:
-            tile_axis *= 2
-    if n_devices % tile_axis:
-        tile_axis = 1
-    hyp_axis = n_devices // tile_axis
-    grid = np.array(devices).reshape(hyp_axis, tile_axis)
-    return Mesh(grid, ("hyp", "tile"))

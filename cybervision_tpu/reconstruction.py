@@ -45,6 +45,12 @@ class Reconstruction:
         self.cfg = _apply_hardware_mode(cfg)
         self.quiet = quiet
         self.images: dict[int, SourceImage] = {}
+        # Degradation counters (log-and-continue semantics,
+        # reconstruction.rs:267-274): how many pairs fell out of the
+        # graph and why. The bench surfaces these so a degraded run
+        # can't hide inside a headline number.
+        self.ransac_failures = 0
+        self.dense_failures = 0
 
     # -- image access -------------------------------------------------
     def image(self, i: int) -> SourceImage:
@@ -137,6 +143,7 @@ class Reconstruction:
             result = self.find_f(i, j, matches)
         except ValueError as err:
             print(f"Failed to complete RANSAC task: {err}", file=sys.stderr)
+            self.ransac_failures += 1
             return PairResult(None, None)
         return PairResult(result.f, result.inliers)
 
@@ -402,6 +409,7 @@ class Reconstruction:
                     f"Failed to perform dense correlation of images: {err}",
                     file=sys.stderr,
                 )
+                self.dense_failures += 1
                 return
             with PhaseTimer("Added dense image pair", self.quiet):
                 pipeline.add_dense_pair(pi, pj, grid)
@@ -427,6 +435,7 @@ class Reconstruction:
                         f"Failed to perform dense correlation of images: {err}",
                         file=sys.stderr,
                     )
+                    self.dense_failures += 1
                     continue
                 flush_pending()
                 pending = (i, j, correlated)

@@ -101,6 +101,22 @@ class DetailTimer:
         return False
 
 
+# Optional process-global phase accumulator (collect_phases): every
+# PhaseTimer exit adds its elapsed seconds under its phrase. The bench
+# uses this to emit a machine-readable per-phase breakdown next to the
+# headline number — the structured form of the reference's wall-clock
+# prints (reconstruction.rs:316-318).
+_PHASE_ACCUM: dict[str, float] | None = None
+
+
+def collect_phases() -> dict[str, float]:
+    """Start a fresh phase accumulation; returns the live dict (phrase ->
+    summed seconds) that subsequent PhaseTimers will add into."""
+    global _PHASE_ACCUM
+    _PHASE_ACCUM = {}
+    return _PHASE_ACCUM
+
+
 class PhaseTimer:
     """Context manager printing 'Completed <phase> in N seconds'."""
 
@@ -115,6 +131,10 @@ class PhaseTimer:
 
     def __exit__(self, exc_type, exc, tb):
         self.elapsed = time.monotonic() - self._start
+        if _PHASE_ACCUM is not None:
+            _PHASE_ACCUM[self._phrase] = (
+                _PHASE_ACCUM.get(self._phrase, 0.0) + self.elapsed
+            )
         if exc_type is None and not self._quiet:
             print(f"{self._phrase} in {self.elapsed:.3f} seconds")
         return False

@@ -69,3 +69,31 @@ def third_cam() -> Camera:
     return Camera(
         k=K, r=np.array([-0.015, -0.1, 0.012]), t=np.array([-1.1, -0.12, 0.15])
     )
+
+
+def multi_cams(n_extra: int) -> list[Camera]:
+    """The first n_extra of a fixed ring of extra cameras around the
+    identity view — 5/6-view SFM scenes (reference driver: N-image
+    all-pairs + incremental recovery, reconstruction.rs:261-277,627-666).
+    The first two are the classic pair/third cams; the rest interleave
+    baselines so neighboring views overlap strongly (every view links to
+    several others, stressing track merging and BA at m>3)."""
+    extras = [
+        pair_cam(),
+        third_cam(),
+        Camera(
+            k=K, r=np.array([0.028, 0.065, -0.018]),
+            t=np.array([0.62, 0.28, -0.12]),
+        ),
+        Camera(
+            k=K, r=np.array([-0.012, -0.055, 0.01]),
+            t=np.array([-0.58, -0.3, 0.1]),
+        ),
+        Camera(
+            k=K, r=np.array([0.018, 0.09, 0.02]),
+            t=np.array([0.9, -0.35, 0.18]),
+        ),
+    ]
+    if n_extra > len(extras):
+        raise ValueError(f"only {len(extras)} extra cameras defined")
+    return extras[:n_extra]
