@@ -261,7 +261,11 @@ def main():
 
     # Persist compiled executables across bench runs — first-run compiles
     # go through the remote TPU compile service (~45 s/program).
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from cybervision_tpu.utils.cache import machine_cache_dir
+
+    jax.config.update(
+        "jax_compilation_cache_dir", machine_cache_dir("/root/repo/.jax_cache")
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cybervision_tpu.config import (

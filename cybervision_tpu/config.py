@@ -160,7 +160,7 @@ class CorrelationConfig:
     # Static half-width buckets for the per-pixel corridor window at refine
     # scales: the smallest bucket >= the observed max corridor length is
     # compiled (one XLA program per bucket per shape, cached).
-    corridor_window_buckets: tuple[int, ...] = (8, 16, 32, 64, 128)
+    corridor_window_buckets: tuple[int, ...] = (8, 16, 24, 32, 64, 128)
     # Fixed corridor half-width (pixels each side of the window center).
     # When set, every refine scale uses this static window and the whole
     # pyramid runs without device->host syncs (one fetch at the end);
@@ -168,6 +168,14 @@ class CorrelationConfig:
     # reference's fully data-driven window via per-scale bucket queries
     # (correlation/mod.rs:530-538).
     corridor_window_fixed: int | None = 16
+    # Truncation guard for the fixed window: the fused pyramid also
+    # reduces the max corridor half-width any refine level wanted; when
+    # it exceeds corridor_window_fixed the run escalates to the
+    # data-driven bucket path (corridor_window_fixed=None) and reruns —
+    # wide-disparity scenes keep reference corridor semantics
+    # (correlation/mod.rs:530-538) at the cost of one scalar fetch per
+    # pair (~30 ms on the TPU tunnel). False trusts the fixed window.
+    corridor_window_escalate: bool = True
     # Low-power window clamp: --mode=gpu-low-power shrinks the sweep
     # window the way the reference shrinks corridor segments
     # (gpu/mod.rs:31-35), bounding per-dispatch VMEM/HBM residency.

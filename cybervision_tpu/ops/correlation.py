@@ -1497,7 +1497,7 @@ pyramid_level_step = functools.partial(
     jax.jit,
     static_argnames=(
         "levels", "corridor_size", "threshold", "min_stdev",
-        "exact_cross_check", "mesh", "pallas_interpret",
+        "exact_cross_check", "mesh", "pallas_interpret", "next_level",
     ),
 )
 def pyramid_program(
@@ -1515,8 +1515,9 @@ def pyramid_program(
     exact_cross_check: bool,
     mesh=None,
     pallas_interpret: bool = False,
+    next_level: tuple | None = None,
 ):
-    """The WHOLE coarse-to-fine pyramid as one program.
+    """The coarse part of the pyramid as ONE program.
 
     With a fixed corridor window there are no host decisions between
     levels, so fusing them removes the per-level program-send latency of
@@ -1528,13 +1529,36 @@ def pyramid_program(
     multi-image run reuses one compiled program. `tmins` is the
     (n_levels, 2) int32 array of dynamic warp shifts [fwd, rev]; device
     resizes happen inside.
+
+    Returns (state_f, state_r, reaches): reaches is an int32 vector of
+    the max per-pixel corridor half-width each refine level actually
+    wanted (len(levels)-1 entries, max over both directions), plus — when
+    `next_level` = (scale, fv_f, fv_r) names the level the CALLER will
+    run next — a final (fwd, rev) PAIR of that level's required
+    half-widths computed from the final states. The caller fetches this
+    small vector once and picks the next level's exact window buckets, so
+    the fixed window can never silently truncate (reference corridors
+    grow unbounded with neighbor stdev, correlation/mod.rs:530-538). The
+    reach reductions reuse the sweeps' own corridor-range subgraphs (CSE
+    within the one program).
     """
     state_f = state_r = empty_state(2, 2)
+    reaches = []
     for si, (scale, lvl_pallas, win_f, win_r, wtr_f, wtr_r) in enumerate(
         levels
     ):
         im1 = _device_resize(full1, scale)
         im2 = _device_resize(full2, scale)
+        if si > 0:
+            halves = max_corridor_halfwidth_pair(
+                state_f, state_r, f_fwd, f_rev, scale, min_range,
+                extend_range,
+                h=im1.shape[0], w=im1.shape[1],
+                h2=im2.shape[0], w2=im2.shape[1],
+                fv_f=None if wtr_f is None else wtr_f[0] == "vert",
+                fv_r=None if wtr_r is None else wtr_r[0] == "vert",
+            )
+            reaches.append(jnp.max(halves).astype(jnp.int32))
         state_f, state_r = _pyramid_level_body(
             im1, im2, state_f, state_r, f_fwd, f_rev, scale, threshold,
             min_stdev, min_range, extend_range, corridor_size, win_f,
@@ -1549,7 +1573,20 @@ def pyramid_program(
             warp_tmin_r=tmins[si, 1],
             pallas_interpret=pallas_interpret,
         )
-    return state_f
+    if next_level is not None:
+        nscale, fv_f, fv_r = next_level
+        nh1, nw1 = _resized_shape(full1.shape, nscale)
+        nh2, nw2 = _resized_shape(full2.shape, nscale)
+        halves = max_corridor_halfwidth_pair(
+            state_f, state_r, f_fwd, f_rev, nscale, min_range,
+            extend_range, h=nh1, w=nw1, h2=nh2, w2=nw2,
+            fv_f=fv_f, fv_r=fv_r,
+        )
+        reaches.extend([halves[0].astype(jnp.int32),
+                        halves[1].astype(jnp.int32)])
+    if reaches:
+        return state_f, state_r, jnp.stack(reaches)
+    return state_f, state_r, jnp.zeros((0,), jnp.int32)
 
 
 def normalize_f(f: np.ndarray) -> np.ndarray:
@@ -1653,8 +1690,17 @@ def correlate_images(
     _LAST_PLAN = plan
 
     if cfg.corridor_window_fixed is not None:
-        # Fixed windows -> no host decisions between levels: run the
-        # whole pyramid as ONE program (see pyramid_program).
+        # Fixed windows -> no host decisions between levels. The COARSE
+        # levels run as one fused program (pyramid_program) that also
+        # reduces each level's actually-required corridor half-width and
+        # the FINEST level's required (fwd, rev) pair; one small fetch
+        # then picks the finest level's exact window buckets. The finest
+        # level (which dominates the cost) therefore never truncates and
+        # runs exactly once; a coarse-level overreach (rare:
+        # wide-disparity scenes) escalates to the fully data-driven
+        # bucket path. Reference corridor semantics preserved
+        # (correlation/mod.rs:530-538) at the cost of one ~30 ms tunnel
+        # round-trip per pair.
         win = cfg.corridor_window_fixed
         levels = []
         tmins = []
@@ -1667,24 +1713,86 @@ def correlate_images(
             wtr_r, tmin_r = split_trange(
                 warp_shift_range(f.T, scale, lh2, lw2, lh1, lw1)
             )
-            lvl_pallas = (
-                use_pallas
-                and si > 0
-                and _level_pallas(
-                    wtr_f, wtr_r, win, win, lh1, lw1, lh2, lw2
-                )
-            )
-            plan["pallas_levels"].append(lvl_pallas)
-            levels.append((scale, lvl_pallas, win, win, wtr_f, wtr_r))
+            levels.append((scale, False, win, win, wtr_f, wtr_r))
             tmins.append((tmin_f, tmin_r))
-        state_f = pyramid_program(
+        tmins = np.array(tmins, np.int32).reshape(len(scales), 2)
+
+        def _annotate_pallas(lv, win_f, win_r):
+            scale, _, _, _, wtr_f, wtr_r = lv
+            lh1, lw1 = _resized_shape(src1.img.shape, scale)
+            lh2, lw2 = _resized_shape(src2.img.shape, scale)
+            lp = use_pallas and _level_pallas(
+                wtr_f, wtr_r, win_f, win_r, lh1, lw1, lh2, lw2
+            )
+            return (scale, lp, win_f, win_r, wtr_f, wtr_r)
+
+        coarse = [
+            lv if si == 0 else _annotate_pallas(lv, win, win)
+            for si, lv in enumerate(levels[:-1])
+        ]
+        split = len(scales) > 1 and cfg.corridor_window_escalate
+        if split:
+            fin = levels[-1]
+            next_spec = (
+                fin[0],
+                None if fin[4] is None else fin[4][0] == "vert",
+                None if fin[5] is None else fin[5][0] == "vert",
+            )
+        else:
+            # escalation off (or single-level pyramid): one program for
+            # everything, finest included, at the fixed window
+            if len(scales) > 1:
+                coarse = coarse + [_annotate_pallas(levels[-1], win, win)]
+            next_spec = None
+        plan["pallas_levels"] = [lv[1] for lv in coarse]
+        state_f, state_r, reaches = pyramid_program(
             full1, full2, f_fwd, f_rev,
-            jnp.asarray(np.array(tmins, np.int32)), tuple(levels),
+            jnp.asarray(tmins[: len(coarse)]), tuple(coarse),
             threshold, min_stdev, min_range, extend_range, cs,
             cfg.exact_cross_check,
             mesh=mesh,
             pallas_interpret=pallas_interpret,
+            next_level=next_spec,
         )
+        if split:
+            r = np.asarray(jax.device_get(reaches))
+            plan["reaches"] = r.tolist()
+            coarse_reach = int(r[:-2].max()) if len(r) > 2 else 0
+            if coarse_reach > win:
+                # a COARSE level already truncated: the cheap split can't
+                # fix history — rerun fully data-driven.
+                import dataclasses as _dc
+
+                if progress is not None:
+                    progress.report_status(0.5)
+                out = correlate_images(
+                    src1, src2, f, projection,
+                    _dc.replace(cfg, corridor_window_fixed=None),
+                    progress, device_out,
+                )
+                _LAST_PLAN["escalated_from_fixed"] = win
+                return out
+            win_f = max(win, _bucket(int(r[-2]), cfg))
+            win_r = max(win, _bucket(int(r[-1]), cfg))
+            plan["windows_finest"] = (win_f, win_r)
+            scale, lp, _, _, wtr_f, wtr_r = _annotate_pallas(
+                levels[-1], win_f, win_r
+            )
+            plan["pallas_levels"].append(lp)
+            state_f, state_r = pyramid_level_step(
+                _device_resize(full1, scale), _device_resize(full2, scale),
+                state_f, state_r, f_fwd, f_rev, scale, threshold,
+                min_stdev, min_range, extend_range, cs, win_f, win_r,
+                first=False,
+                use_pallas=lp,
+                mesh=mesh,
+                exact_cross_check=cfg.exact_cross_check,
+                warp_trange_f=wtr_f,
+                warp_trange_r=wtr_r,
+                warp_tmin_f=tmins[-1, 0],
+                warp_tmin_r=tmins[-1, 1],
+                pallas_interpret=pallas_interpret,
+            )
         if progress is not None:
             progress.report_status(1.0)
         return _finish_correlate(state_f, src1, src2, device_out)

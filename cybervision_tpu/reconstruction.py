@@ -554,9 +554,11 @@ def _enable_compile_cache() -> None:
         or jax.config.jax_compilation_cache_dir
     ):
         return
-    cache = os.path.join(
+    from cybervision_tpu.utils.cache import machine_cache_dir
+
+    cache = machine_cache_dir(os.path.join(
         os.path.expanduser("~"), ".cache", "cybervision_tpu", "jax"
-    )
+    ))
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)

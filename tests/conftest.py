@@ -48,7 +48,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Persistent compilation cache across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/cvtpu_jax_cache")
+from cybervision_tpu.utils.cache import machine_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", machine_cache_dir("/tmp/cvtpu_jax_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

@@ -286,3 +286,35 @@ def test_sfm_pipeline_two_view(rng):
         vis = surface.track_visible(j)
         err = np.linalg.norm(proj[vis] - surface.tracks[vis, j], axis=1)
         assert np.median(err) < 1.0
+
+
+def test_bundle_adjust_device_path(rng):
+    """The TPU f32 while-loop LM + f64 host polish (CVTPU_BA_DEVICE path,
+    here on the CPU backend) must converge to the same quality as the
+    host-f64 path on a noisy scene."""
+    pts, cams, obs = _scene(rng, 200, 3)
+    store = sfm.TrackStore(3)
+    store.append(_tracks_from_obs(obs))
+    store.points3d = pts + rng.normal(0, 0.05, pts.shape)
+    store.has_point3d = np.ones(len(pts), bool)
+    noisy_cams = [
+        Camera(k=K, r=c.r + rng.normal(0, 0.002, 3), t=c.t + rng.normal(0, 0.01, 3))
+        for c in cams
+    ]
+
+    def rms(cameras, points):
+        total = []
+        for j, cam in enumerate(cameras):
+            p = cam.projection()
+            h = np.concatenate([points, np.ones((len(points), 1))], axis=1)
+            q = h @ p.T
+            uv = q[:, :2] / q[:, 2:3]
+            total.append(np.linalg.norm(uv - store.pts[:, j], axis=1))
+        return float(np.mean(np.concatenate(total)))
+
+    before = rms(noisy_cams, store.points3d)
+    out_cams = ba._bundle_adjust_device(store, list(noisy_cams), TriangulationConfig())
+    assert out_cams is not None
+    after = rms(out_cams, store.points3d)
+    assert after < before * 0.2
+    assert after < 0.5

@@ -15,7 +15,11 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from cybervision_tpu.utils.cache import machine_cache_dir
+
+jax.config.update(
+    "jax_compilation_cache_dir", machine_cache_dir("/root/repo/.jax_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from bench import synth_sem_pair

@@ -23,7 +23,11 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from cybervision_tpu.utils.cache import machine_cache_dir
+
+    jax.config.update(
+        "jax_compilation_cache_dir", machine_cache_dir("/root/repo/.jax_cache")
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cybervision_tpu.config import (
