@@ -264,6 +264,46 @@ def cubic_roots(c3, c2, c1, c0):
     return roots, ok
 
 
+def _nullspace2_batch(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Orthonormal basis (two 9-vectors) of null(a) for a (B, 7, 9) batch.
+
+    Batched Householder triangularization of V = a^T: 7 unit reflectors
+    v_k zero the subdiagonal of V in sequence; the full Q's columns 7
+    and 8 — an exact orthonormal nullspace basis — are H1...H7 e_j,
+    built by applying the reflectors in reverse to the unit vectors.
+    Every step is batched elementwise/reduction work (no per-batch
+    loops, nothing below the leading axis), which is why it beats the
+    general-purpose blocked QR by ~4x (see solve_perspective_batch).
+    """
+    v_t = a.transpose(0, 2, 1).astype(jnp.float32)  # (B, 9, 7)
+    cols = jnp.arange(9)
+    vs = []
+    r = v_t
+    for k in range(7):
+        x = r[:, :, k]  # (B, 9)
+        xk = jnp.where((cols >= k)[None, :], x, 0.0)
+        alpha = jnp.sqrt(jnp.sum(xk * xk, axis=1))
+        sign = jnp.where(xk[:, k] >= 0, 1.0, -1.0)
+        e_k = (cols == k).astype(jnp.float32)[None, :]
+        v = xk + (sign * alpha)[:, None] * e_k
+        v = v / jnp.maximum(
+            jnp.sqrt(jnp.sum(v * v, axis=1)), 1e-30
+        )[:, None]
+        vs.append(v)
+        proj = jnp.einsum("bi,bik->bk", v, r)
+        r = r - 2.0 * v[:, :, None] * proj[:, None, :]
+
+    def q_col(j):
+        q = jnp.broadcast_to(
+            (cols == j).astype(jnp.float32)[None, :], v_t.shape[:1] + (9,)
+        )
+        for k in range(6, -1, -1):
+            q = q - 2.0 * vs[k] * jnp.sum(vs[k] * q, axis=1, keepdims=True)
+        return q
+
+    return q_col(7), q_col(8)
+
+
 def solve_perspective_batch(
     s1: jnp.ndarray, s2: jnp.ndarray, rank_eps: float
 ):
@@ -281,15 +321,17 @@ def solve_perspective_batch(
 
     # Two-dimensional null subspace of the 7x9 system. Only the SPAN
     # matters — the det-constraint lambda sweep below covers any
-    # orthonormal basis of it — so take the last two columns of the
-    # COMPLETE QR of A^T: A^T = QR with Q (9, 9); columns 7..8 are an
-    # exact orthonormal basis of null(A). Batched QR is 17x faster than
-    # the 9x9 eigh of A^T A on a v5e (39.7 ms vs 669.6 ms per 50k) and
-    # ~1e4x more accurate in f32 (residual |A v| ~1e-7 vs ~1e-3, since it
-    # never squares the condition number).
-    q, _ = jnp.linalg.qr(a.transpose(0, 2, 1), mode="complete")
-    f1 = q[:, :, 7].reshape(b, 3, 3)
-    f2 = q[:, :, 8].reshape(b, 3, 3)
+    # orthonormal basis of it. Hand-rolled batched Householder (7
+    # reflectors over A^T, then apply them in reverse to e7/e8) instead
+    # of jnp.linalg.qr(mode="complete"): the generic QR materializes all
+    # 9 Q columns through XLA's blocked algorithm, this form computes
+    # exactly the two nullspace columns with pure batched VPU arithmetic
+    # — 8.5 ms vs 35.3 ms per 50k on a v5e at equal (slightly better)
+    # |A v| residuals. Both beat the 9x9 eigh of A^T A (669.6 ms and
+    # ~1e4x worse f32 accuracy from squaring the condition number).
+    q7, q8 = _nullspace2_batch(a)
+    f1 = q7.reshape(b, 3, 3)
+    f2 = q8.reshape(b, 3, 3)
 
     # det(lam*F1 + (1-lam)*F2) = 0 via the mixed-column determinant tensor
     # (vgg_singF_from_FF; fundamentalmatrix.rs:327-349).
@@ -446,21 +488,28 @@ def ransac_batch(
     keys = jax.random.split(key, 2)
     idx = jax.random.randint(keys[0], (batch, n_samples), 0, top_limit)
     tril = jnp.tril(jnp.ones((n_samples, n_samples), bool), k=-1)
+    p_all = jnp.concatenate([p1, p2], axis=1)  # (M, 4)
 
-    def redraw(i, idx):
-        coords = jnp.concatenate([p1[idx], p2[idx]], axis=2)  # (B, n, 4)
+    def redraw(i, state):
+        # Sampled coordinates ride the carry so each iteration gathers
+        # only the fresh candidates (one (B, n)-row gather, not two).
+        idx, coords = state
         diff = jnp.abs(coords[:, :, None, :] - coords[:, None, :, :])
         close = jnp.any(diff < min_inlier_distance, axis=3)  # (B, n, n)
         conflict = jnp.any(close & tril[None], axis=2)  # later slot redraws
         fresh = jax.random.randint(
             jax.random.fold_in(keys[1], i), (batch, n_samples), 0, top_limit
         )
-        return jnp.where(conflict, fresh, idx)
+        return (
+            jnp.where(conflict, fresh, idx),
+            jnp.where(conflict[:, :, None], p_all[fresh], coords),
+        )
 
-    idx = jax.lax.fori_loop(0, 12, redraw, idx)
-    s1 = p1[idx]  # (B, n, 2)
-    s2 = p2[idx]
-    coords = jnp.concatenate([s1, s2], axis=2)
+    idx, coords = jax.lax.fori_loop(
+        0, 12, redraw, (idx, p_all[idx])
+    )
+    s1 = coords[:, :, 0:2]  # (B, n, 2)
+    s2 = coords[:, :, 2:4]
     diff = jnp.abs(coords[:, :, None, :] - coords[:, None, :, :])
     close = jnp.any(diff < min_inlier_distance, axis=3)
     iu = jnp.triu_indices(n_samples, k=1)
