@@ -649,3 +649,78 @@ def test_fixed_window_no_escalation_on_narrow_disparity(rng):
     assert plan["windows_finest"] == (16, 16), plan
     assert max(plan["reaches"]) <= 16, plan
     assert int((np.asarray(out)[:, :, 2] > 0).sum()) > 1000
+
+
+# ---------------------------------------------------------------------------
+# Uniform-axis detection (static-kernel specialization for perspective F)
+
+
+def test_uniform_epipolar_axis_matches_device_field(rng):
+    """When the host proves a uniform axis, the device's per-pixel vert
+    field must actually be constant at that value (the detection gates a
+    STATIC kernel specialization — a wrong call would silently sweep the
+    wrong epipolar direction)."""
+    h, w = 96, 128
+    for _ in range(60):
+        f = rng.normal(0, 1, (3, 3))
+        f = corr.normalize_f(f)
+        ax = corr.uniform_epipolar_axis(f, 1.0, h, w)
+        vert = np.asarray(
+            corr.epipolar_fields(jnp.asarray(f, jnp.float32), h, w, 1.0)[
+                "vert"
+            ]
+        )
+        if ax == "vert":
+            assert vert.all()
+        elif ax == "horiz":
+            assert not vert.any()
+        # ax None: no claim (conservative)
+
+
+def test_uniform_epipolar_axis_mixed_returns_none():
+    # Epipole at the image origin: the dominant axis flips across the
+    # diagonal, so no static specialization is allowed.
+    f = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    assert corr.uniform_epipolar_axis(f, 1.0, 128, 128) is None
+
+
+def test_refine_pass_pallas_forced_axis_matches_scan(rng):
+    """A perspective F with a proven-uniform axis must give identical
+    results through the static-axis kernel (force_axis) and the
+    per-pixel scan reference."""
+    h, w, dx = 48, 40, 2
+    base = _texture(rng, h, w + dx, 1.5)
+    img1, img2 = base[:, :w].copy(), base[:, dx : dx + w].copy()
+    # Horizontal-ish epipolar geometry with small perspective terms:
+    # still uniformly "horiz" over the image.
+    f = corr.normalize_f(np.array(
+        [[1e-6, 2e-6, 1e-4], [1.5e-6, -1e-6, 1.0], [2e-4, -1.0, 0.5]]
+    ))
+    ax = corr.uniform_epipolar_axis(f, 1.0, h, w)
+    assert ax == "horiz"
+    hp, wp = h // 2, w // 2
+    prev_pos = np.zeros((hp, wp, 2), np.int32)
+    for qy in range(hp):
+        for qx in range(wp):
+            prev_pos[qy, qx] = (max(2 * qx - dx, 0), 2 * qy)
+    prev = corr.CorrelationState(
+        pos=jnp.asarray(prev_pos),
+        corr=jnp.ones((hp, wp), jnp.float32),
+        valid=jnp.ones((hp, wp), bool),
+    )
+    args = (
+        jnp.asarray(img1), jnp.asarray(img2), prev,
+        jnp.asarray(f, jnp.float32), 1.0, 0.5, 1.0, 0.75, 0.5, 4,
+    )
+    ref = corr.refine_pass(*args, window=8)
+    out = corr.refine_pass_pallas(
+        *args, window=8, interpret=True, force_axis=ax
+    )
+    ov, rv = np.asarray(out.valid), np.asarray(ref.valid)
+    assert (ov != rv).mean() < 0.005
+    v = ov & rv
+    np.testing.assert_allclose(
+        np.asarray(out.corr)[v], np.asarray(ref.corr)[v], atol=1e-4
+    )
+    pos_eq = (np.asarray(out.pos)[v] == np.asarray(ref.pos)[v]).all(axis=1)
+    assert pos_eq.mean() > 0.995

@@ -125,13 +125,30 @@ def test_correlate_sharded_pallas_matches_unsharded(monkeypatch):
 @needs8
 def test_correlate_sharded_pallas_perspective_axis(monkeypatch):
     """Same, for the dynamic-axis (perspective/gather) kernel variant —
-    the vert field rides the halo exchange there."""
+    the vert field rides the halo exchange there. The scene is a
+    forward-motion (radial-flow) pair whose F has its epipole INSIDE the
+    image, so the per-pixel dominant axis genuinely mixes and
+    uniform_epipolar_axis cannot (and must not) force the static
+    kernel."""
     monkeypatch.setenv("CVTPU_INTERPRET_PALLAS", "1")
+    # Pure forward translation with identity K: F = [e_z]x, epipolar
+    # lines radiate from the (0, 0) epipole; img2 is img1 zoomed about
+    # that corner (the matching radial flow).
     f = np.array(
-        [[1e-6, 2e-6, 1e-4], [1.5e-6, -1e-6, 1.0], [2e-4, -1.0, 0.5]],
-        np.float64,
+        [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 0.0]], np.float64
     )
-    src1, src2 = _pair(256, 256, 2.0, seed=5)
+    assert correlation.uniform_epipolar_axis(f, 1.0, 320, 256) is None
+    # 320 rows: the radial scene's corridor reach floors at ~25 px
+    # (window bucket 32), and the sharded kernel needs each of the 8 row
+    # shards at least one halo deep — ceil(320/8) = 40 >= 5 + 32.
+    rng = np.random.RandomState(5)
+    base = ndimage.gaussian_filter(rng.uniform(0, 255, (320, 256)), 1.5)
+    base = (base - base.min()) / (base.max() - base.min()) * 255.0
+    ys, xs = np.mgrid[0:320, 0:256].astype(np.float64)
+    img2 = ndimage.map_coordinates(
+        base, [ys / 1.01, xs / 1.01], order=3, mode="nearest"
+    )
+    src1, src2 = _Img(base), _Img(img2)
     sharded = correlation.correlate_images(
         src1, src2, f, ProjectionMode.PERSPECTIVE
     )
