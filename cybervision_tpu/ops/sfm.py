@@ -562,15 +562,24 @@ def merge_tracks(
     py = np.clip(store.pts[rows, image_i, 1], 0, h - 1)
 
     n_img = store.n_images
-    # Per-pixel accumulators per image: sum_x, sum_y, count.
+    # Per-pixel accumulators per image: sum_x, sum_y, count. bincount
+    # over flattened pixel ids instead of np.add.at — ufunc.at takes a
+    # slow per-element path (~20x at the multi-view track counts where
+    # this runs once per image merge).
+    flat = py * w + px
     sum_x = np.zeros((n_img, h, w))
     sum_y = np.zeros((n_img, h, w))
     count = np.zeros((n_img, h, w))
     for m in range(n_img):
         vm = store.pts[rows, m, 0] != MISSING
-        np.add.at(sum_x[m], (py[vm], px[vm]), store.pts[rows[vm], m, 0])
-        np.add.at(sum_y[m], (py[vm], px[vm]), store.pts[rows[vm], m, 1])
-        np.add.at(count[m], (py[vm], px[vm]), 1.0)
+        fm = flat[vm]
+        sum_x[m] = np.bincount(
+            fm, weights=store.pts[rows[vm], m, 0], minlength=h * w
+        ).reshape(h, w)
+        sum_y[m] = np.bincount(
+            fm, weights=store.pts[rows[vm], m, 1], minlength=h * w
+        ).reshape(h, w)
+        count[m] = np.bincount(fm, minlength=h * w).reshape(h, w)
 
     # Area aggregates over the asymmetric [p-r, p+r) window
     # (saturating_sub/min semantics, triangulation.rs:1469-1510).
@@ -608,8 +617,9 @@ def merge_tracks(
         can &= ~both | (d2 <= max_d2)
 
     # A pixel merges only if all its member tracks can merge.
-    pixel_ok = np.ones((h, w), bool)
-    np.logical_and.at(pixel_ok, (py, px), can)
+    pixel_ok = (
+        np.bincount(flat[~can], minlength=h * w).reshape(h, w) == 0
+    )
 
     # Merged track per occupied pixel: integer average of exact members.
     occupied = count.sum(axis=0) > 0
