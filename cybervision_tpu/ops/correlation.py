@@ -1822,9 +1822,16 @@ def correlate_images(
             )
         else:
             # escalation off (or single-level pyramid): one program for
-            # everything, finest included, at the fixed window
-            if len(scales) > 1:
-                coarse = coarse + [_annotate_pallas(levels[-1], win, win)]
+            # everything, finest included, at the fixed window. The
+            # finest level is appended UNCONDITIONALLY — with a
+            # single-level pyramid (min dim <= scale_min_size, steps=0;
+            # reference handles this via optimal_scale_steps=0,
+            # correlation/mod.rs:542-550) the level is the si==0 first
+            # pass and stays un-annotated like every first level.
+            coarse = coarse + [
+                levels[-1] if len(scales) == 1
+                else _annotate_pallas(levels[-1], win, win)
+            ]
             next_spec = None
         plan["pallas_levels"] = [lv[1] for lv in coarse]
         state_f, state_r, reaches = pyramid_program(

@@ -417,6 +417,29 @@ def test_correlate_images_end_to_end(rng):
     assert np.median(err_y) <= 1.0
 
 
+def test_correlate_images_single_level_pyramid(rng):
+    """A pair at/below scale_min_size has a ONE-level pyramid (steps=0;
+    the reference handles this via optimal_scale_steps()=0,
+    correlation/mod.rs:542-550). Regression: the fixed-window fused path
+    once dropped the only level (coarse=levels[:-1] empty + a
+    len(scales)>1 guard) and returned the 2x2 placeholder state
+    (ADVICE r3 high)."""
+    h, w, dx = 64, 64, 2
+    img1, img2 = _shifted_pair(rng, h, w, dx, blur=1.2)
+    cfg = CorrelationConfig()  # default scale_min_size=64 -> 1 level
+    assert cfg.corridor_window_fixed is not None
+    out = corr.correlate_images(
+        _FakeSource(img1), _FakeSource(img2), F_HSHIFT,
+        ProjectionMode.AFFINE, cfg,
+    )
+    assert out.shape == (h, w, 3)
+    valid = out[:, :, 2] == 1
+    assert valid.sum() > 100
+    ys, xs = np.nonzero(valid)
+    err = np.abs(out[:, :, 0][valid] - (xs - dx))
+    assert np.median(err) <= 1.0
+
+
 def test_fused_pyramid_matches_per_level_loop(rng):
     """correlate_images' single fused pyramid program (pyramid_program)
     must equal dispatching pyramid_level_step per level."""
