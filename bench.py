@@ -70,10 +70,12 @@ def run(paths, out_path, cfg):
 # ad-hoc PERF.md notes). Keys map the reference's phase prints
 # (reconstruction.rs:316-318 and per-phase prints).
 _PHASE_KEYS = {
+    "Loaded images": "image_load",
     "Extracted feature points": "sparse_features",
     "Matched keypoints": "sparse_matching",
     "Completed RANSAC fitting": "ransac",
     "Completed dense correlation": "dense_correlation",
+    "Fetched correlation grid": "device_fetch",
     "Added dense image pair": "track_extend",
     "Completed triangulation post-processing": "triangulation",
     "Saved result": "output",
@@ -190,6 +192,48 @@ def sfm_views_seconds(td, n_views=3, n_runs=3):
     return dt, failures, phases
 
 
+def perspective_pair_exif_obj_seconds(td, n_runs=3):
+    """BASELINE config #3: a perspective photo pair whose K comes from
+    the images' own EXIF FocalLengthIn35mmFilm tag (no --focal-length
+    flag), bundle adjustment ON, to a vertex-colored OBJ — the
+    reference's --projection=perspective photo path
+    (/root/reference/src/main.rs:73-76, src/reconstruction.rs:164-185).
+    The last BASELINE config without a driver-captured timing
+    (VERDICT r3 missing #2). Returns (best_seconds, phases_of_best)."""
+    from PIL import Image
+
+    from cybervision_tpu.config import (
+        InterpolationMode,
+        MeshMode,
+        ProjectionMode,
+        ReconstructionConfig,
+    )
+    from tests.perspective_scene import pair_cam, render_views
+
+    rng = np.random.RandomState(3)
+    views = render_views(rng, [pair_cam()])
+    exif = Image.Exif()
+    exif[41989] = 43  # FocalLengthIn35mmFilm — 400 px on 320x256 ~ 43 mm
+    paths = []
+    for i, v in enumerate(views):
+        p = os.path.join(td, f"persp_exif{i}.png")
+        Image.fromarray(v).save(p, exif=exif)
+        paths.append(p)
+    cfg = ReconstructionConfig(
+        projection=ProjectionMode.PERSPECTIVE,
+        interpolation=InterpolationMode.DELAUNAY,
+        mesh=MeshMode.VERTEX_COLORS,
+        # focal_length=None: K must come from EXIF; BA on by default.
+    )
+    run(paths, os.path.join(td, "persp_exif_warm.obj"), cfg)
+    results = [
+        run_full(paths, os.path.join(td, f"persp_exif{i}.obj"), cfg)
+        for i in range(n_runs)
+    ]
+    _, dt, phases = min(results, key=lambda r: r[1])
+    return dt, phases
+
+
 def hires_texture_obj_seconds(td, n_runs=2):
     """BASELINE config #4: a 4032x3024 pair (the reference's max
     practical size, README.md:83) with --max-points and a
@@ -215,6 +259,45 @@ def hires_texture_obj_seconds(td, n_runs=2):
         run([p1, p2], os.path.join(td, f"hires{i}.obj"), cfg)
         for i in range(n_runs)
     )
+
+
+def sharded_kernel_on_silicon(td):
+    """VERDICT r3 next #3: lower the SHARDED Pallas program (shard_map +
+    ppermute halo exchange + pallas_call, ops/pallas_ncc.py
+    ncc_sweep_sharded) onto the real TPU via a 1-device mesh and assert
+    bit-identity with the unsharded kernel. Interpret-mode CPU tests
+    can't catch a lowering/VMA mistake (check_vma=False); this is the
+    only hardware validation a one-chip environment permits.
+
+    Returns {"ran": bool, "pallas_under_mesh": bool, "bit_identical":
+    bool} for the driver record."""
+    from cybervision_tpu.config import CorrelationConfig, ProjectionMode
+    from cybervision_tpu.images import SourceImage
+    from cybervision_tpu.ops import correlation
+
+    p1, p2 = save_pair(td, 256, 320)
+    src1 = SourceImage.load(p1)
+    src2 = SourceImage.load(p2)
+    f = np.array([[0, 0, 0], [0, 0, 1], [0, -1, 0]], np.float64)
+    cfg = CorrelationConfig()
+    os.environ["CVTPU_SHARD_1DEV"] = "1"
+    try:
+        sharded = correlation.correlate_images(
+            src1, src2, f, ProjectionMode.AFFINE, cfg
+        )
+        plan = dict(correlation._LAST_PLAN)
+    finally:
+        del os.environ["CVTPU_SHARD_1DEV"]
+    single = correlation.correlate_images(
+        src1, src2, f, ProjectionMode.AFFINE, cfg
+    )
+    return {
+        "ran": True,
+        "pallas_under_mesh": bool(
+            plan.get("mesh") and any(plan.get("pallas_levels", []))
+        ),
+        "bit_identical": bool(np.array_equal(sharded, single)),
+    }
 
 
 def _tpu_alive(timeout_s: int = 150) -> bool:
@@ -336,11 +419,19 @@ def main():
         sfm5_s, sfm5_failures, sfm5_phases = sfm_views_seconds(
             td, n_views=5, n_runs=2
         )
+        # One scaling point beyond 5 views (VERDICT r3 next #10): does
+        # anything superlinear hide in recovery order, merge, BA, or
+        # occlusion culling?
+        sfm6_s, sfm6_failures, sfm6_phases = sfm_views_seconds(
+            td, n_views=6, n_runs=1
+        )
+        persp_pair_s, persp_pair_phases = perspective_pair_exif_obj_seconds(td)
         hires_s = (
             hires_texture_obj_seconds(td)
             if os.environ.get("CVTPU_BENCH_HIRES", "1") != "0"
             else None
         )
+        sharded_silicon = sharded_kernel_on_silicon(td)
 
     result = {
         "metric": "e2e_1024x1024_sem_pair_to_ply_mesh_seconds",
@@ -362,7 +453,13 @@ def main():
             "sfm_5view_320x256_to_merged_ply_seconds": round(sfm5_s, 3),
             "sfm_5view_pair_failures_per_run": sfm5_failures,
             "sfm_5view_phases_seconds": sfm5_phases,
+            "sfm_6view_320x256_to_merged_ply_seconds": round(sfm6_s, 3),
+            "sfm_6view_pair_failures_per_run": sfm6_failures,
+            "sfm_6view_phases_seconds": sfm6_phases,
+            "perspective_pair_exif_ba_obj_seconds": round(persp_pair_s, 3),
+            "perspective_pair_exif_ba_obj_phases_seconds": persp_pair_phases,
             "ransac_budget": "reference defaults (k=1e6, P3P k=1e5)",
+            "sharded_pallas_on_silicon": sharded_silicon,
         },
     }
     if hires_s is not None:

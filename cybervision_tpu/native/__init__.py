@@ -322,5 +322,31 @@ def delaunay_int(pts: np.ndarray) -> np.ndarray | None:
     return out[:m]
 
 
+def merge_tracks_image(
+    pts: np.ndarray, image_i: int, w: int, h: int, r: int, max_d2: int
+) -> np.ndarray:
+    """Per-image track merge (triangulation.rs:1421-1539); the exact
+    native form of ops.sfm.merge_tracks's numpy math (that docstring is
+    the spec). pts: (T, n_images, 2) int32 with -1 missing. Returns the
+    merged (K, n_images, 2) int32 tracks in row-major pixel order."""
+    pts = np.ascontiguousarray(pts, np.int32)
+    t_count, n_img = pts.shape[0], pts.shape[1]
+    out = np.empty((h * w, n_img, 2), np.int32)
+    k = _lib.merge_tracks_image(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t_count, n_img, image_i, w, h, r, max_d2,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out[:k].copy()
+
+
+_lib.merge_tracks_image.argtypes = [
+    ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,
+    ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+    ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
+]
+_lib.merge_tracks_image.restype = ctypes.c_long
+
+
 # Importing succeeded: the toolchain built (or reused) the shared library.
 AVAILABLE = True

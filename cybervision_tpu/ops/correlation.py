@@ -1600,8 +1600,11 @@ def pyramid_program(
     run next — a final (fwd, rev) PAIR of that level's required
     half-widths computed from the final states. The caller fetches this
     small vector once and picks the next level's exact window buckets, so
-    the fixed window can never silently truncate (reference corridors
-    grow unbounded with neighbor stdev, correlation/mod.rs:530-538). The
+    the fixed window never silently truncates below the largest
+    configured bucket (reference corridors grow unbounded with neighbor
+    stdev, correlation/mod.rs:530-538; a reach beyond
+    corridor_window_buckets[-1] clamps there — shared with the
+    data-driven path — and sets plan['reach_capped']). The
     reach reductions reuse the sweeps' own corridor-range subgraphs (CSE
     within the one program).
     """
@@ -1654,6 +1657,21 @@ def pyramid_program(
     if reaches:
         return state_f, state_r, jnp.stack(reaches)
     return state_f, state_r, jnp.zeros((0,), jnp.int32)
+
+
+class _BandProgress:
+    """Rescales a nested stage's [0, 1] progress into [lo, hi] of the
+    outer listener (the reference rescales per-level progress the same
+    way, reconstruction.rs:866-893)."""
+
+    def __init__(self, inner, lo: float, hi: float):
+        self._inner = inner
+        self._lo = lo
+        self._span = hi - lo
+
+    def report_status(self, pos: float) -> None:
+        pos = min(max(pos, 0.0), 1.0)
+        self._inner.report_status(self._lo + self._span * pos)
 
 
 def normalize_f(f: np.ndarray) -> np.ndarray:
@@ -1763,7 +1781,8 @@ def correlate_images(
         # reduces each level's actually-required corridor half-width and
         # the FINEST level's required (fwd, rev) pair; one small fetch
         # then picks the finest level's exact window buckets. The finest
-        # level (which dominates the cost) therefore never truncates and
+        # level (which dominates the cost) therefore never truncates
+        # below the largest window bucket and
         # runs exactly once; a coarse-level overreach (rare:
         # wide-disparity scenes) escalates to the fully data-driven
         # bucket path. Reference corridor semantics preserved
@@ -1849,18 +1868,38 @@ def correlate_images(
             coarse_reach = int(r[:-2].max()) if len(r) > 2 else 0
             if coarse_reach > win:
                 # a COARSE level already truncated: the cheap split can't
-                # fix history — rerun fully data-driven.
+                # fix history — rerun fully data-driven. Tell the user
+                # (the cost doubles) and rescale the nested run's
+                # progress into the remaining [0.5, 1.0] band so the bar
+                # never moves backwards (ADVICE r3).
                 import dataclasses as _dc
+                import sys as _sys
 
+                print(
+                    "Corridor reach exceeded the fixed window"
+                    f" ({coarse_reach} > {win}); escalating to"
+                    " data-driven windows (pyramid rerun)",
+                    file=_sys.stderr,
+                )
+                nested_progress = progress
                 if progress is not None:
                     progress.report_status(0.5)
+                    nested_progress = _BandProgress(progress, 0.5, 1.0)
                 out = correlate_images(
                     src1, src2, f, projection,
                     _dc.replace(cfg, corridor_window_fixed=None),
-                    progress, device_out,
+                    nested_progress, device_out,
                 )
                 _LAST_PLAN["escalated_from_fixed"] = win
                 return out
+            cap = cfg.corridor_window_buckets[-1]
+            if int(r[-2]) > cap or int(r[-1]) > cap:
+                # The finest level's required reach exceeds the largest
+                # bucket: the window clamps there, so "never truncates"
+                # weakens to "never truncates below the largest bucket"
+                # (the data-driven path shares the same cap — parity
+                # holds, but record it; ADVICE r3).
+                plan["reach_capped"] = True
             win_f = max(win, _bucket(int(r[-2]), cfg))
             win_r = max(win, _bucket(int(r[-1]), cfg))
             plan["windows_finest"] = (win_f, win_r)

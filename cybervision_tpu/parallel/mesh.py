@@ -60,6 +60,12 @@ def pipeline_mesh(min_devices: int = 2) -> Mesh | None:
     """
     if os.environ.get("CVTPU_NO_SHARD"):
         return None
+    if os.environ.get("CVTPU_SHARD_1DEV"):
+        # Explicit opt-in for hardware validation of the sharded code
+        # path on a single chip: the shard_map + ppermute + pallas_call
+        # program lowers and runs for real (the only multi-chip evidence
+        # a one-chip environment can produce; VERDICT r3 next #3).
+        min_devices = 1
     # Mesh over the ACTIVE platform's devices — under --mode=cpu's
     # jax.default_device(cpu) context, a TPU-host process must not build
     # a TPU mesh (see active_platform).

@@ -203,3 +203,56 @@ def test_not_enough_matches():
         epipolar.find_fundamental_matrix(
             np.zeros((5, 4), dtype=np.int64), ProjectionMode.AFFINE, 100.0
         )
+
+
+@pytest.mark.parametrize(
+    "projection", [ProjectionMode.AFFINE, ProjectionMode.PERSPECTIVE]
+)
+def test_multi_pair_matches_sequential(rng, projection):
+    """find_fundamental_matrix_multi must produce, for every pair, the
+    SAME winner as the sequential driver (VERDICT r3 next #1: the pair
+    axis is a performance restructuring, not a semantic change). Pairs
+    differ in match count (different sampling maxval), include one
+    too-small pair (error parity), and use the real early-exit
+    bookkeeping."""
+    if projection == ProjectionMode.AFFINE:
+        scenes = [
+            _affine_scene(rng, n_inliers=120, n_outliers=40),
+            _affine_scene(rng, n_inliers=90, n_outliers=70),
+            _affine_scene(rng, n_inliers=150, n_outliers=20),
+        ]
+        max_dims = [1000.0, 1000.0, 1000.0]
+    else:
+        scenes = [
+            _perspective_scene(rng, n_points=250, n_outliers=30),
+            _perspective_scene(rng, n_points=180, n_outliers=60),
+        ]
+        max_dims = [640.0, 640.0]
+    matches_list = [m for m, _ in scenes]
+    # A pair below the m >= d + n floor: must come back as the same
+    # error the sequential driver raises.
+    matches_list.append(np.zeros((5, 4), np.int64))
+    max_dims = max_dims + [640.0]
+
+    cfg = _small_cfg()
+    seq = []
+    for m, dim in zip(matches_list, max_dims):
+        try:
+            seq.append(epipolar.find_fundamental_matrix(m, projection, dim, cfg))
+        except ValueError as err:
+            seq.append(err)
+
+    multi = epipolar.find_fundamental_matrix_multi(
+        matches_list, projection, max_dims, cfg
+    )
+
+    assert len(multi) == len(seq)
+    for s, r in zip(seq, multi):
+        if isinstance(s, Exception):
+            assert isinstance(r, Exception)
+            assert str(r) == str(s)
+            continue
+        assert not isinstance(r, Exception)
+        np.testing.assert_array_equal(r.f, s.f)
+        np.testing.assert_array_equal(r.inliers, s.inliers)
+        assert r.matches_count == s.matches_count

@@ -174,3 +174,45 @@ def test_delaunay_int_valid_and_matches_qhull_counts(rng):
     assert len(native.delaunay_int(
         np.array([[0, 0], [1, 1], [2, 2], [3, 3]], np.int32))) == 0
     assert native.delaunay_int(np.array([[0, 0], [1, 1]], np.int32)) is None
+
+
+def _random_tracks(rng, t=4000, n_img=5, w=320, h=256):
+    """Clustered tracks with missing entries: many tracks share image-0
+    pixels so real merging happens."""
+    from cybervision_tpu.ops.sfm import MISSING, TrackStore
+
+    pts = np.full((t, n_img, 2), MISSING, np.int32)
+    # image-0 anchor pixels, clustered (divide coords by 4 -> collisions)
+    pts[:, 0, 0] = rng.randint(0, w // 3, t) * 3 % w
+    pts[:, 0, 1] = rng.randint(0, h // 3, t) * 3 % h
+    for m in range(1, n_img):
+        vis = rng.rand(t) < 0.7
+        # near the anchor, with outlier jumps sprinkled in
+        dx = rng.randint(-2, 3, t) + np.where(rng.rand(t) < 0.05, 40, 0)
+        dy = rng.randint(-2, 3, t)
+        pts[vis, m, 0] = np.clip(pts[vis, 0, 0] + dx[vis], 0, w - 1)
+        pts[vis, m, 1] = np.clip(pts[vis, 0, 1] + dy[vis], 0, h - 1)
+    # a handful not visible in image 0 at all (must be dropped)
+    drop = rng.rand(t) < 0.1
+    pts[drop, 0] = MISSING
+    store = TrackStore(n_img)
+    store.append(pts)
+    return store
+
+
+def test_merge_tracks_native_matches_numpy(rng):
+    from cybervision_tpu.ops.sfm import TrackStore, _merge_tracks_numpy
+
+    w, h = 320, 256
+    store = _random_tracks(rng, w=w, h=h)
+    for image_i, r, max_d2 in [(0, 2, 10), (1, 2, 10), (0, 1, 4), (2, 3, 100)]:
+        merged_native = native.merge_tracks_image(
+            store.pts, image_i, w, h, r, max_d2
+        )
+        ref = _merge_tracks_numpy(store, image_i, (w, h), r, max_d2)
+        np.testing.assert_array_equal(merged_native, ref.pts)
+
+    # empty store
+    empty = TrackStore(3)
+    out = native.merge_tracks_image(empty.pts, 0, w, h, 2, 10)
+    assert out.shape == (0, 3, 2)

