@@ -485,40 +485,48 @@ def _ransac_batch_core(
     # the in-loop random-access gathers were the single largest device
     # cost of a 50k batch (~26 ms of 66 ms), the hoisted loop is pure
     # elementwise selects.
+    # The whole phase runs LANE-MAJOR: indices draw as (n, B), the
+    # coordinate gather reads a transposed (4, M) table so its output
+    # (4, 13, n, B) is BORN with the hypothesis axis on the VPU's
+    # 128-lane minor dimension, and the redraw loop's conflict tensors
+    # (4, n, n, B) keep it there. The natural (B, n, n, 4) forms put 7-
+    # and 4-wide axes minor — ~3% tile utilization — and a post-gather
+    # transpose of the 73 MB candidate array costs more than the loop;
+    # gathering INTO the lane-major layout avoids both (measured: the
+    # 12-round loop drops 8.6 -> 1.9 ms per 50k batch). Only the final
+    # selected coordinates (5.6 MB) transpose back for the solver.
     keys = jax.random.split(key, 2)
-    idx0 = jax.random.randint(keys[0], (batch, n_samples), 0, top_limit)
+    idx0 = jax.random.randint(keys[0], (n_samples, batch), 0, top_limit)
     fresh = jnp.stack(
         [
             jax.random.randint(
-                jax.random.fold_in(keys[1], i), (batch, n_samples), 0,
+                jax.random.fold_in(keys[1], i), (n_samples, batch), 0,
                 top_limit,
             )
             for i in range(12)
         ]
-    )  # (12, B, n)
+    )  # (12, n, B)
     tril = jnp.tril(jnp.ones((n_samples, n_samples), bool), k=-1)
-    p_all = jnp.concatenate([p1, p2], axis=1)  # (M, 4)
-    all_coords = p_all[jnp.concatenate([idx0[None], fresh], axis=0)]
+    p_all_t = jnp.concatenate([p1, p2], axis=1).T  # (4, M)
+    all_idx = jnp.concatenate([idx0[None], fresh], axis=0)  # (13, n, B)
+    all_coords = jnp.take(p_all_t, all_idx, axis=1)  # (4, 13, n, B)
 
-    def redraw(i, state):
-        idx, coords = state
+    def redraw(i, coords):
+        # coords: (4, n, B)
         diff = jnp.abs(coords[:, :, None, :] - coords[:, None, :, :])
-        close = jnp.any(diff < min_inlier_distance, axis=3)  # (B, n, n)
-        conflict = jnp.any(close & tril[None], axis=2)  # later slot redraws
-        return (
-            jnp.where(conflict, fresh[i], idx),
-            jnp.where(conflict[:, :, None], all_coords[i + 1], coords),
-        )
+        close = jnp.any(diff < min_inlier_distance, axis=0)  # (n, n, B)
+        conflict = jnp.any(
+            close & tril[:, :, None], axis=1
+        )  # (n, B): later slot redraws against earlier slots
+        return jnp.where(conflict[None], all_coords[:, i + 1], coords)
 
-    idx, coords = jax.lax.fori_loop(
-        0, 12, redraw, (idx0, all_coords[0])
-    )
-    s1 = coords[:, :, 0:2]  # (B, n, 2)
-    s2 = coords[:, :, 2:4]
+    coords = jax.lax.fori_loop(0, 12, redraw, all_coords[:, 0])
     diff = jnp.abs(coords[:, :, None, :] - coords[:, None, :, :])
-    close = jnp.any(diff < min_inlier_distance, axis=3)
+    close = jnp.any(diff < min_inlier_distance, axis=0)
     iu = jnp.triu_indices(n_samples, k=1)
-    sample_ok = ~jnp.any(close[:, iu[0], iu[1]], axis=1)
+    sample_ok = ~jnp.any(close[iu[0], iu[1]], axis=0)  # (B,)
+    s1 = jnp.transpose(coords[0:2], (2, 1, 0))  # (B, n, 2)
+    s2 = jnp.transpose(coords[2:4], (2, 1, 0))
 
     if projection_affine:
         f, valid = solve_affine_batch(s1, s2, rank_eps)  # (B,3,3), (B,)
@@ -554,7 +562,11 @@ def _ransac_batch_core(
     # Chunked scoring: only a (chunk, M) error tile is ever live, with
     # running (count, error-sum) reductions — the TPU analog of the
     # reference's corridor segmentation discipline (gpu/mod.rs:31-35).
-    chunk = 2048
+    # Chunk choice is pure performance (per-candidate reductions are
+    # chunking-invariant): 8192 cuts the lax.map's sequential step count
+    # 4x — the per-step dispatch overhead, not the arithmetic, dominated
+    # the scoring stage at 2048.
+    chunk = 8192
     total = ff.shape[0]
     pad = (-total) % chunk
     ff_p = jnp.pad(ff, ((0, pad), (0, 0), (0, 0)))
@@ -594,6 +606,78 @@ ransac_batch = functools.partial(
         "n_samples", "batch", "projection_affine", "rank_eps", "top_k"
     ),
 )(_ransac_batch_core)
+
+
+def _ransac_rounds_core(
+    round_keys,
+    p1,
+    p2,
+    m_valid,
+    top_limit,
+    threshold,
+    min_inlier_distance,
+    min_count,
+    n_samples: int,
+    batch: int,
+    projection_affine: bool,
+    rank_eps: float,
+    t1=None,
+    t2=None,
+    top_k: int = 1,
+):
+    """EVERY early-exit round fused into one program via lax.scan with a
+    running top-K carry — one dispatch and one fetch for the whole
+    (typically 1M-iteration) budget.
+
+    Only valid when the early exit PROVABLY cannot fire: the reference
+    checks `best > d_early` between 50k-batches (fundamentalmatrix.rs:
+    112-142), and best <= match count, so a pair with m <= d_early can
+    never exit — every batch runs regardless, and fusing them changes
+    nothing but the dispatch count. (Perspective's d_early is 50 000
+    inliers, far above any real match table; affine CAN exit early and
+    keeps the round-by-round driver.)
+
+    round_keys: (n_rounds,) key array — the same per-round subkeys the
+    host loop would split. The running merge is the absorb loop's
+    (count desc, err asc, round order) selection, so the final pool is
+    identical to absorbing round by round
+    (tests/test_epipolar.py::test_fused_rounds_match_round_by_round).
+    Returns the packed (top_k, 11) candidates (count 0 = empty slot).
+    """
+    init = (
+        jnp.zeros((top_k, 3, 3), jnp.float32),
+        jnp.zeros((top_k,), jnp.int32),
+        jnp.full((top_k,), jnp.inf, jnp.float32),
+    )
+
+    def body(carry, rk):
+        fs, cs, es = carry
+        f, c, e = _ransac_batch_core(
+            rk, p1, p2, m_valid, top_limit, threshold,
+            min_inlier_distance, min_count,
+            n_samples=n_samples, batch=batch,
+            projection_affine=projection_affine, rank_eps=rank_eps,
+            t1=t1, t2=t2, top_k=top_k,
+        )
+        fs2 = jnp.concatenate([fs, f.astype(jnp.float32)])
+        cs2 = jnp.concatenate([cs, c.astype(jnp.int32)])
+        es2 = jnp.concatenate([es, e.astype(jnp.float32)])
+        # Pool entries come first in the concat, so the index tiebreak
+        # keeps the earlier round on equal (count, err) — the host
+        # absorb loop's stable-sort order.
+        i = _lex_topk_indices(cs2, es2)[:top_k]
+        return (fs2[i], cs2[i], es2[i]), None
+
+    (fs, cs, es), _ = jax.lax.scan(body, init, round_keys)
+    return _pack_candidates_core(fs, cs, es)
+
+
+ransac_rounds_packed = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_samples", "batch", "projection_affine", "rank_eps", "top_k"
+    ),
+)(_ransac_rounds_core)
 
 
 @functools.partial(
@@ -1014,6 +1098,10 @@ def _lm_refine_topk(
 # ---------------------------------------------------------------------------
 # Host orchestration
 
+# Test hook: force the round-by-round dispatch loop even when the fused
+# all-rounds program applies (parity tests compare the two).
+_FORCE_ROUND_LOOP = False
+
 
 @dataclasses.dataclass
 class FundamentalMatrixResult:
@@ -1121,6 +1209,37 @@ def find_fundamental_matrix(
         pool.sort(key=lambda e: (-e[1], e[2]))
         del pool[want_k:]
         return pool[0][1] if pool else 0
+
+    # When the early exit PROVABLY cannot fire (best count <= m <=
+    # d_early), all rounds fuse into ONE program with a running top-K
+    # scan carry (ransac_rounds_packed): per-round dispatch/fetch
+    # overhead — which dominates a 50k batch on the TPU tunnel —
+    # disappears, and the pool is identical to absorbing round by round.
+    if (
+        mesh is None
+        and not _FORCE_ROUND_LOOP
+        and n_batches > 1
+        and m <= d_early
+    ):
+        subs = []
+        for _ in range(n_batches):
+            key, sub = jax.random.split(key)
+            subs.append(sub)
+        packed = ransac_rounds_packed(
+            jnp.stack(subs), p1, p2, m_valid, top_limit, t,
+            float(cfg.min_inlier_distance), d + n,
+            n_samples=n, batch=batch,
+            projection_affine=projection == ProjectionMode.AFFINE,
+            rank_eps=cfg.rank_epsilon, t1=t1, t2=t2, top_k=want_k,
+        )
+        best_count = absorb(np.asarray(packed))
+        if progress is not None:
+            progress.report_status(1.0)
+            if hasattr(progress, "report_matches"):
+                progress.report_matches(best_count)
+        if not pool:
+            raise RansacError("No reliable matches found")
+        return _finalize_pair(matches, pool, t, projection, cfg)
 
     # Batches are software-pipelined one deep: batch i+1 is DISPATCHED
     # (async device work) before batch i's packed result is fetched, so
@@ -1264,8 +1383,12 @@ def find_fundamental_matrix_multi(
     round covers ALL still-active pairs in one program dispatch.
 
     Per-pair results are IDENTICAL to find_fundamental_matrix run
-    sequentially on each pair (pinned by
-    tests/test_epipolar.py::test_multi_pair_matches_sequential):
+    sequentially on each pair, in both modes: the fused all-rounds mode
+    dispatches the single-pair driver's own compiled program per pair
+    (pipelined one deep), and the round-by-round mode's vmapped lanes
+    are pinned bitwise by
+    tests/test_epipolar.py::test_multi_pair_matches_sequential /
+    test_fused_rounds_match_round_by_round. Guarantees:
     * the PRNG round keys are split from PRNGKey(cfg.seed) exactly like
       the sequential driver and shared across the pair axis, and each
       lane's draws are a deterministic function of (key, shape, maxval);
@@ -1375,6 +1498,68 @@ def find_fundamental_matrix_multi(
                 done[pi] = True
 
     key = jax.random.PRNGKey(cfg.seed)
+
+    # Fused full-budget sweep: when NO pair can early-exit (every
+    # m <= d_early — always true for perspective scenes, whose d_early
+    # is 50k inliers), each pair's whole n_rounds x 50k search is ONE
+    # program dispatch with a running top-K scan (ransac_rounds_packed —
+    # the SAME compiled program the single-pair driver uses, so per-pair
+    # winners are bitwise-identical to it), and pairs are pipelined one
+    # deep so every pair's fetch overlaps the next pair's device sweep.
+    # This beats a vmapped pair axis here: the pow2 lane padding would
+    # burn real compute (the sweep is arithmetic-bound, not
+    # dispatch-bound, at full budget), and the unvmapped program keeps
+    # exact numerical parity.
+    if (
+        not _FORCE_ROUND_LOOP
+        and n_batches > 1
+        and all(e["m"] <= d_early for e in prep.values())
+    ):
+        subs = []
+        for _ in range(n_batches):
+            key, sub = jax.random.split(key)
+            subs.append(sub)
+        subs = jnp.stack(subs)
+
+        def absorb_one(pi: int, packed: np.ndarray) -> None:
+            pool = pools[pi]
+            fs = packed[:, 0:9].astype(np.float64).reshape(-1, 3, 3)
+            counts = packed[:, 9].astype(np.int64)
+            errs = packed[:, 10].astype(np.float64)
+            for j in range(len(counts)):
+                if counts[j] > 0:
+                    pool.append((fs[j], int(counts[j]), float(errs[j])))
+            pool.sort(key=lambda e: (-e[1], e[2]))
+            del pool[want_k:]
+
+        pending: tuple[int, object] | None = None
+        lanes = list(prep)
+        for li, pi in enumerate(lanes):
+            e = prep[pi]
+            mpad = np.zeros((mb, 4), e["matches"].dtype)
+            mpad[: e["m"]] = e["matches"]
+            p1 = jnp.asarray(mpad[:, 0:2], jnp.float32)
+            p2 = jnp.asarray(mpad[:, 2:4], jnp.float32)
+            mv = jnp.asarray(np.arange(mb) < e["m"])
+            t1 = None if affine else jnp.asarray(e["t1"], jnp.float32)
+            t2 = None if affine else jnp.asarray(e["t2"], jnp.float32)
+            packed_dev = ransac_rounds_packed(
+                subs, p1, p2, mv, e["top_limit"], e["t"],
+                float(cfg.min_inlier_distance), d + n,
+                n_samples=n, batch=batch, projection_affine=affine,
+                rank_eps=cfg.rank_epsilon, t1=t1, t2=t2, top_k=want_k,
+            )
+            if pending is not None:
+                absorb_one(pending[0], np.asarray(pending[1]))
+            pending = (pi, packed_dev)
+            if progress is not None:
+                progress.report_status(li / len(lanes))
+        if pending is not None:
+            absorb_one(pending[0], np.asarray(pending[1]))
+        if progress is not None:
+            progress.report_status(1.0)
+        return _finalize_multi(prep, pools, results, projection, cfg)
+
     cached_lanes: list[int] | None = None
     cached_arrays = None
     pending: tuple[list[int], object] | None = None
@@ -1403,10 +1588,14 @@ def find_fundamental_matrix_multi(
         if progress is not None:
             progress.report_status(1.0)
 
-    # Finalize: LM lanes from EVERY pair batch into one CPU f64 program
-    # (each lane carries its own match table; lane trajectories are
-    # independent, so grouping does not change any pair's result — the
-    # sequential-parity test covers this too).
+    return _finalize_multi(prep, pools, results, projection, cfg)
+
+
+def _finalize_multi(prep, pools, results, projection, cfg):
+    """Finalize every pair's pool: LM lanes from EVERY pair batch into
+    one CPU f64 program (each lane carries its own match table; lane
+    trajectories are independent, so grouping does not change any
+    pair's result — the sequential-parity test covers this too)."""
     refined_by_pair: dict[int, list[np.ndarray]] = {pi: [] for pi in prep}
     if projection == ProjectionMode.PERSPECTIVE:
         lane_specs: list[tuple[int, np.ndarray, np.ndarray]] = []
