@@ -19,6 +19,16 @@ releases — ADVICE r3), so flags alone still admitted cross-host loads
 with "machine type doesn't match" warnings. Model+version is the
 closest observable proxy for the actual compile-target feature set
 (no public jax/jaxlib API exposes the LLVM host features themselves).
+
+Residual risk, observed and accepted: this VM presents a STABLE
+virtualized cpuinfo while migrating across physically different hosts,
+so XLA's runtime microarch detection can still disagree with any tag
+derived from guest-visible state — cross-host AOT loads then log
+"machine type doesn't match" warnings (loads proceed; no SIGILL
+observed since the tag landed). A guaranteed fix would need jaxlib to
+expose its LLVM host features; until then the tag narrows the window
+(model/arch/jaxlib changes miss instead of crash) rather than closing
+it.
 """
 
 from __future__ import annotations
