@@ -629,7 +629,31 @@ def bundle_adjust(
         return _bundle_adjust_numpy(store, cameras, cfg, quiet)
     if os.environ.get("CVTPU_BA_DEVICE"):
         return _bundle_adjust_device(store, cameras, cfg, quiet)
+    # In the axon TPU process, XLA:CPU execution is ~15x degraded
+    # (utils.cpu_worker docstring) — run the host-f64 LM in the clean
+    # worker subprocess. Same code, bit-identical results.
+    from cybervision_tpu.utils import cpu_worker
+
+    if cpu_worker.needs_clean_cpu():
+        try:
+            cams_out, pts3, has3 = cpu_worker.call(
+                "cybervision_tpu.ops.ba._bundle_adjust_clean",
+                store, cameras, cfg, quiet,
+            )
+            store.points3d = pts3
+            store.has_point3d = has3
+            return cams_out
+        except cpu_worker.WorkerUnavailable:
+            pass
     return _bundle_adjust_jit(store, cameras, cfg, quiet)
+
+
+def _bundle_adjust_clean(store, cameras, cfg, quiet):
+    """Worker-side entry: run the fused-jit path and return the mutated
+    store arrays alongside the cameras (the worker can't mutate the
+    parent's store in place)."""
+    cams_out = _bundle_adjust_jit(store, cameras, cfg, quiet)
+    return cams_out, store.points3d, store.has_point3d
 
 
 def _bundle_adjust_numpy(

@@ -1026,6 +1026,28 @@ def _lm_refine_lanes(
     k_lanes: int,
     max_iters: int = 1000,
 ) -> list[np.ndarray | None]:
+    """Dispatch wrapper: in the axon TPU process, XLA:CPU runs ~15x
+    degraded (utils.cpu_worker docstring), so the refinement executes in
+    the clean-CPU worker subprocess — same code, bit-identical results;
+    inline everywhere else (tests, --mode=cpu) or if the worker fails."""
+    from cybervision_tpu.utils import cpu_worker
+
+    if cpu_worker.needs_clean_cpu():
+        try:
+            return cpu_worker.call(
+                "cybervision_tpu.ops.epipolar._lm_refine_lanes_impl",
+                lanes, k_lanes, max_iters,
+            )
+        except cpu_worker.WorkerUnavailable:
+            pass
+    return _lm_refine_lanes_impl(lanes, k_lanes, max_iters)
+
+
+def _lm_refine_lanes_impl(
+    lanes: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    k_lanes: int,
+    max_iters: int = 1000,
+) -> list[np.ndarray | None]:
     """Refine hypothesis lanes — each (f0, fits, pts1, pts2), possibly
     from DIFFERENT image pairs — in one batched program. Runs in f64 on
     the CPU backend (TPUs have no native f64). Every lane carries its
@@ -1532,15 +1554,29 @@ def find_fundamental_matrix_multi(
             pool.sort(key=lambda e: (-e[1], e[2]))
             del pool[want_k:]
 
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        _dbg = bool(_os.environ.get("CVTPU_RANSAC_DEBUG"))
+        _t0 = _time.time()
         pending: tuple[int, object] | None = None
         lanes = list(prep)
         for li, pi in enumerate(lanes):
             e = prep[pi]
-            mpad = np.zeros((mb, 4), e["matches"].dtype)
+            # Per-pair bucket, NOT the shared mb: per-pair dispatches
+            # don't stack lanes, so each pair pads only to its own pow2
+            # bucket — one oversized pair must not quadruple every other
+            # pair's scoring (observed: a 6-view scene with one >2048-
+            # match pair pushed ALL pairs to the 8192 bucket). This also
+            # keeps each pair's program identical to the single-pair
+            # driver's (bitwise winner parity).
+            mb_i = pow2_bucket(e["m"], floor=2048, factor=4)
+            mpad = np.zeros((mb_i, 4), e["matches"].dtype)
             mpad[: e["m"]] = e["matches"]
             p1 = jnp.asarray(mpad[:, 0:2], jnp.float32)
             p2 = jnp.asarray(mpad[:, 2:4], jnp.float32)
-            mv = jnp.asarray(np.arange(mb) < e["m"])
+            mv = jnp.asarray(np.arange(mb_i) < e["m"])
             t1 = None if affine else jnp.asarray(e["t1"], jnp.float32)
             t2 = None if affine else jnp.asarray(e["t2"], jnp.float32)
             packed_dev = ransac_rounds_packed(
@@ -1549,16 +1585,34 @@ def find_fundamental_matrix_multi(
                 n_samples=n, batch=batch, projection_affine=affine,
                 rank_eps=cfg.rank_epsilon, t1=t1, t2=t2, top_k=want_k,
             )
+            if _dbg:
+                print(f"[ransac-dbg] pair {pi} dispatched @ {_time.time()-_t0:.3f}s (m={e['m']}, mb={mb_i})", file=_sys.stderr)
             if pending is not None:
                 absorb_one(pending[0], np.asarray(pending[1]))
+                # Finalize (LM refinement on the CPU backend) runs
+                # INLINE while the NEXT pair's fused sweep occupies the
+                # TPU — per-pair LM (~0.2-0.6 s) hides under the ~0.9 s
+                # device sweep. A batched cross-pair LM was measured
+                # SLOWER (6.1 s for 9 pairs at 80 lanes): the
+                # while_loop's per-iteration cost scales with lanes, its
+                # iteration count is the max over pairs, and on the CPU
+                # backend there is no dispatch overhead to amortize.
+                _complete_pair(
+                    prep, pools, results, pending[0], projection, cfg
+                )
+                if _dbg:
+                    print(f"[ransac-dbg] pair {pending[0]} absorbed+finalized @ {_time.time()-_t0:.3f}s", file=_sys.stderr)
             pending = (pi, packed_dev)
             if progress is not None:
                 progress.report_status(li / len(lanes))
         if pending is not None:
             absorb_one(pending[0], np.asarray(pending[1]))
+            _complete_pair(prep, pools, results, pending[0], projection, cfg)
+            if _dbg:
+                print(f"[ransac-dbg] last pair absorbed+finalized @ {_time.time()-_t0:.3f}s", file=_sys.stderr)
         if progress is not None:
             progress.report_status(1.0)
-        return _finalize_multi(prep, pools, results, projection, cfg)
+        return results
 
     cached_lanes: list[int] | None = None
     cached_arrays = None
@@ -1592,41 +1646,20 @@ def find_fundamental_matrix_multi(
 
 
 def _finalize_multi(prep, pools, results, projection, cfg):
-    """Finalize every pair's pool: LM lanes from EVERY pair batch into
-    one CPU f64 program (each lane carries its own match table; lane
-    trajectories are independent, so grouping does not change any
-    pair's result — the sequential-parity test covers this too)."""
-    refined_by_pair: dict[int, list[np.ndarray]] = {pi: [] for pi in prep}
-    if projection == ProjectionMode.PERSPECTIVE:
-        lane_specs: list[tuple[int, np.ndarray, np.ndarray]] = []
-        for pi, e in prep.items():
-            for f0, fits0 in _refinable_lanes(
-                e["matches"], pools[pi], e["t"]
-            ):
-                lane_specs.append((pi, f0, fits0))
-        if lane_specs:
-            refined = _lm_refine_lanes(
-                [
-                    (
-                        f0,
-                        fits0,
-                        prep[pi]["matches"][:, 0:2].astype(np.float64),
-                        prep[pi]["matches"][:, 2:4].astype(np.float64),
-                    )
-                    for pi, f0, fits0 in lane_specs
-                ],
-                k_lanes=pow2_bucket(len(lane_specs), floor=cfg.top_k_refine),
-            )
-            for (pi, _, _), fr in zip(lane_specs, refined):
-                if fr is not None:
-                    refined_by_pair[pi].append(fr)
-
-    for pi, e in prep.items():
-        if not pools[pi]:
-            results[pi] = RansacError("No reliable matches found")
-        else:
-            results[pi] = _pick_winner(
-                e["matches"], pools[pi], refined_by_pair[pi], e["t"],
-                projection,
-            )
+    """Finalize every pair's pool (round-by-round mode). Per-pair LM —
+    measured faster than one batched cross-pair lane program on the CPU
+    backend (lane cost scales per iteration, iterations are the max
+    over pairs), and bitwise-identical to the sequential driver."""
+    for pi in prep:
+        _complete_pair(prep, pools, results, pi, projection, cfg)
     return results
+
+
+def _complete_pair(prep, pools, results, pi, projection, cfg) -> None:
+    """Finalize one pair's pool into results[pi] (result or error)."""
+    if not pools[pi]:
+        results[pi] = RansacError("No reliable matches found")
+    else:
+        results[pi] = _finalize_pair(
+            prep[pi]["matches"], pools[pi], prep[pi]["t"], projection, cfg
+        )

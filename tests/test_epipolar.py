@@ -319,3 +319,38 @@ def test_multi_pair_matches_sequential(rng, projection):
         np.testing.assert_array_equal(r.f, s.f)
         np.testing.assert_array_equal(r.inliers, s.inliers)
         assert r.matches_count == s.matches_count
+
+
+def test_clean_cpu_worker_matches_inline(rng, monkeypatch):
+    """The clean-CPU worker subprocess (utils.cpu_worker) must return
+    bit-identical LM refinements to inline execution — same code, same
+    jaxlib, different process. Forced here by setting the axon trigger
+    variable (the suite's environment is already clean, so the parent's
+    in-process path is unaffected and the child spawns clean)."""
+    from cybervision_tpu.utils import cpu_worker
+
+    matches, _ = _perspective_scene(rng)
+    pts1 = matches[:, :2].astype(np.float64)
+    pts2 = matches[:, 2:].astype(np.float64)
+    res = epipolar.find_fundamental_matrix(
+        matches, ProjectionMode.PERSPECTIVE, 640.0, _small_cfg()
+    )
+    pool = [(res.f * (1 + 1e-5 * k), 100, 0.1) for k in range(4)]
+    lanes = [
+        (f0, fits, pts1, pts2)
+        for f0, fits in epipolar._refinable_lanes(matches, pool, 6.4)
+    ]
+    inline = epipolar._lm_refine_lanes_impl(lanes, k_lanes=4)
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "test-trigger")
+    assert cpu_worker.needs_clean_cpu()
+    try:
+        via_worker = epipolar._lm_refine_lanes(lanes, k_lanes=4)
+    finally:
+        cpu_worker.shutdown()
+    assert len(via_worker) == len(inline)
+    for a, b in zip(via_worker, inline):
+        if a is None or b is None:
+            assert a is None and b is None
+        else:
+            np.testing.assert_array_equal(a, b)
