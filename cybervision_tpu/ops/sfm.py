@@ -866,10 +866,17 @@ class SfmPipeline:
         extend_tracks(self.store, i, j, grid, self._search_radius(j))
 
     def merge_tracks(self, image_i) -> None:
+        """Per-image merge (reconstruction.rs:726 -> triangulation.rs:
+        1421-1539). DEVIATION: the reference retriangulates every track
+        after each merge (triangulation.rs:1538), but between dense-
+        phase merges nothing reads points3d — pose recovery is already
+        complete, extend/merge use 2D tracks only, and complete()
+        begins with its own full retriangulation. Deferring it changes
+        no output and removes an all-tracks device DLT per image
+        (~0.25 s each at the 5-view bench scale)."""
         self.store = merge_tracks(
             self.store, image_i, self.shapes[image_i], self.tcfg
         )
-        self._triangulate_all_tracks()
 
     # -- finalize ---------------------------------------------------------
     def complete(self, max_points=None, bundle_adjustment=True) -> Surface:
