@@ -84,6 +84,14 @@ _lib.ply_write_corr_grid.argtypes = [
     ctypes.POINTER(ctypes.c_int32),
 ]
 _lib.ply_write_corr_grid.restype = ctypes.c_long
+_lib.ply_write_delta_grid.argtypes = [
+    ctypes.c_char_p,
+    ctypes.POINTER(ctypes.c_uint16), ctypes.c_long, ctypes.c_long,
+    ctypes.POINTER(ctypes.c_double),
+    ctypes.POINTER(ctypes.c_uint8),
+    ctypes.POINTER(ctypes.c_int32),
+]
+_lib.ply_write_delta_grid.restype = ctypes.c_long
 _lib.format_obj_vertices.argtypes = [
     ctypes.POINTER(ctypes.c_double), ctypes.c_long,
     ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
@@ -245,6 +253,36 @@ def ply_write_corr_grid(path, word, out_scale, image=None) -> int:
         from cybervision_tpu.errors import OutputError
 
         raise OutputError(f"ply_write_corr_grid: cannot write {path}")
+    return int(faces)
+
+
+def ply_write_delta_grid(path, d16, out_scale, image=None) -> int:
+    """ply_write_corr_grid on the 2-byte delta-compressed fetch payload
+    (ops.correlation._pack_state_delta) — byte-identical PLY, half the
+    tunnel bytes. The caller must already have checked the overflow flag
+    (bit 15 of any element) and fallen back to the word plane if set.
+    Returns the face count; raises OutputError on write failure."""
+    d16 = np.ascontiguousarray(d16, np.uint16)
+    h, w = d16.shape
+    scale = np.ascontiguousarray(out_scale, np.float64)
+    iptr = (
+        np.ascontiguousarray(image, np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)
+        )
+        if image is not None
+        else ctypes.POINTER(ctypes.c_uint8)()
+    )
+    idx = np.empty((h, w), np.int32)
+    faces = _lib.ply_write_delta_grid(
+        path.encode(),
+        d16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), h, w,
+        _dptr(scale), iptr,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if faces < 0:
+        from cybervision_tpu.errors import OutputError
+
+        raise OutputError(f"ply_write_delta_grid: cannot write {path}")
     return int(faces)
 
 

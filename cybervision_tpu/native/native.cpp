@@ -456,6 +456,55 @@ long ply_write_corr_grid(const char *path, const int32_t *word, long h,
   return faces;
 }
 
+// Delta-grid variant of ply_write_corr_grid: consumes the 2-byte
+// delta-compressed fetch payload (ops.correlation._pack_state_delta:
+// (dx+64)&0x7F | ((dy+64)&0x7F)<<7 | valid<<14, bit 15 = overflow flag
+// the CALLER must have checked) and writes the identical grid-mesh PLY.
+// The word writer computes dx = x - x2 = -(packed dx); hypot is
+// sign-invariant and the integer doubles match exactly, so output is
+// byte-identical to ply_write_corr_grid on the equivalent word grid.
+long ply_write_delta_grid(const char *path, const uint16_t *dg, long h,
+                          long w, const double *scale, const uint8_t *img,
+                          int32_t *idx) {
+  long n = 0;
+  for (long i = 0; i < h * w; i++)
+    idx[i] = ((dg[i] >> 14) & 1) ? (int32_t)n++ : -1;
+  long faces = 0;
+  quad_walk(idx, h, w, [&](int32_t, int32_t, int32_t) { faces++; });
+
+  FILE *fh = std::fopen(path, "wb");
+  if (!fh) return -1;
+  std::setvbuf(fh, nullptr, _IONBF, 0);
+  ply_header(fh, n, faces, img != nullptr);
+
+  ChunkWriter cw(fh);
+  const double sx = scale[0], sy = -scale[1], sz = scale[2];
+  for (long y = 0; y < h; y++) {
+    for (long x = 0; x < w; x++) {
+      const uint16_t dv = dg[y * w + x];
+      if (!((dv >> 14) & 1)) continue;
+      const double dx = (double)((int)(dv & 0x7F) - 64);
+      const double dy = (double)((int)((dv >> 7) & 0x7F) - 64);
+      cw.be_double((double)x * sx);
+      cw.be_double((double)y * sy);
+      cw.be_double(std::hypot(dx, dy) * sz);
+      if (img) cw.rgb(img + (y * w + x) * 3);
+      cw.maybe_flush();
+    }
+  }
+  cw.flush();
+
+  quad_walk(idx, h, w, [&](int32_t a, int32_t b, int32_t c) {
+    cw.ply_face(a, b, c);
+  });
+  cw.flush();
+  // See ply_write_corr_grid: an unbuffered stream still needs an
+  // explicit ferror check to surface mid-body short writes.
+  const bool write_failed = std::ferror(fh) != 0;
+  if (std::fclose(fh) != 0 || write_failed) return -1;
+  return faces;
+}
+
 // OBJ face lines "f a b c\n" (1-based, already-reversed indices).
 long format_obj_faces(const int32_t *faces, long n, char *out) {
   char *p = out;

@@ -747,3 +747,41 @@ def test_refine_pass_pallas_forced_axis_matches_scan(rng):
     )
     pos_eq = (np.asarray(out.pos)[v] == np.asarray(ref.pos)[v]).all(axis=1)
     assert pos_eq.mean() > 0.995
+
+
+def test_pack_state_delta_parity_and_overflow(rng):
+    """_pack_state_delta: valid-masked parity with the compact word via
+    unpack_delta_grid; overflow bit set iff any VALID delta leaves
+    [-64, 63] (invalid garbage positions must not trip it)."""
+    import jax
+
+    h, w = 24, 32
+    col = np.arange(w, dtype=np.int32)[None, :]
+    row = np.arange(h, dtype=np.int32)[:, None]
+    x2 = np.clip(col + rng.randint(-40, 41, (h, w)), 0, w - 1)
+    y2 = np.clip(row + rng.randint(-40, 41, (h, w)), 0, h - 1)
+    valid = rng.uniform(size=(h, w)) < 0.6
+    # Garbage positions at some INVALID pixels, far out of delta range.
+    x2 = np.where(~valid & (rng.uniform(size=(h, w)) < 0.5), 4000, x2)
+    pos = jnp.asarray(np.stack([x2, y2], axis=-1).astype(np.int32))
+    state = corr.CorrelationState(
+        pos=pos, corr=jnp.zeros((h, w), jnp.float32),
+        valid=jnp.asarray(valid),
+    )
+    d16, word = jax.jit(corr._pack_state_delta)(state)
+    d16, word = np.asarray(d16), np.asarray(word)
+    assert not (d16[0, 0] & 0x8000)
+    np.testing.assert_array_equal((d16 >> 14) & 1, valid.astype(np.uint16))
+    un = corr.unpack_delta_grid(d16)
+    v = (word >> 24) & 1
+    np.testing.assert_array_equal(un * v, word * v)
+
+    # Valid pixels with >63-px deltas must set the broadcast flag.
+    state2 = corr.CorrelationState(
+        pos=jnp.asarray(np.stack([x2 + 300, y2], -1).astype(np.int32)),
+        corr=jnp.zeros((h, w), jnp.float32),
+        valid=jnp.asarray(valid),
+    )
+    d16b, _ = jax.jit(corr._pack_state_delta)(state2)
+    d16b = np.asarray(d16b)
+    assert d16b[0, 0] & 0x8000  # flag broadcast to every element

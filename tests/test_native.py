@@ -216,3 +216,29 @@ def test_merge_tracks_native_matches_numpy(rng):
     empty = TrackStore(3)
     out = native.merge_tracks_image(empty.pts, 0, w, h, 2, 10)
     assert out.shape == (0, 3, 2)
+
+
+def test_ply_write_delta_grid_matches_corr_grid(rng, tmp_path):
+    """The 2-byte delta-grid writer must be byte-identical to the word
+    writer on equivalent grids (in-range deltas), vertex colors on."""
+    h, w = 40, 56
+    valid = (rng.uniform(size=(h, w)) < 0.7).astype(np.int32)
+    col = np.arange(w, dtype=np.int32)[None, :]
+    row = np.arange(h, dtype=np.int32)[:, None]
+    # In-image positions (like the real grid), deltas within [-64, 63].
+    x2 = np.clip(col + rng.randint(-64, 64, (h, w)), 0, w - 1)
+    y2 = np.clip(row + rng.randint(-64, 64, (h, w)), 0, h - 1)
+    dx, dy = x2 - col, y2 - row
+    word = ((x2 & 0xFFF) | ((y2 & 0xFFF) << 12) | (valid << 24)).astype(
+        np.int32
+    )
+    d16 = (
+        ((dx + 64) & 0x7F) | (((dy + 64) & 0x7F) << 7) | (valid << 14)
+    ).astype(np.uint16)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    scale = (1.0, 1.0, -2.5)
+    pa, pb = str(tmp_path / "a.ply"), str(tmp_path / "b.ply")
+    fa = native.ply_write_corr_grid(pa, word, scale, img)
+    fb = native.ply_write_delta_grid(pb, d16, scale, img)
+    assert fa == fb
+    assert open(pa, "rb").read() == open(pb, "rb").read()
