@@ -78,6 +78,11 @@ _PHASE_KEYS = {
     "Fetched correlation grid": "device_fetch",
     "Added dense image pair": "track_extend",
     "Completed triangulation post-processing": "triangulation",
+    # Sub-phases of "triangulation" (SfmPipeline.complete) — informative
+    # split, not additive with their parent.
+    "Finalize DLT": "triangulation_dlt",
+    "Finalize outlier filter": "triangulation_filter",
+    "Finalize bundle adjustment": "triangulation_ba",
     "Saved result": "output",
     "Completed reconstruction": "total",
 }

@@ -381,8 +381,16 @@ def _bundle_adjust_jit(store, cameras, cfg, quiet=False):
     """Fused-jit LM loop — numerics identical to the numpy path (same
     formulas, same accept/reject logic; XLA:CPU reassociates sums, so
     agreement is ~1e-8 relative, not bit-exact)."""
+    import os
+    import time as _time
+
     import jax
     import jax.numpy as jnp
+
+    _dbg = bool(os.environ.get("CVTPU_BA_DEBUG"))
+    _t0 = _time.monotonic()
+    _n_try = _n_accept = 0
+    _t_blocks = _t_try = 0.0
 
     from cybervision_tpu.utils.buckets import pow2_bucket
 
@@ -407,18 +415,23 @@ def _bundle_adjust_jit(store, cameras, cfg, quiet=False):
 
         mu, nu = 1e-3, 2.0
         found = False
+        _tb = _time.monotonic()
         blocks = _ba_blocks_jit(k_stack, r_s, t_s, points, obs, mask)
         g_a, g_b, s_diag, v, w, rn2_d, g_max_d = blocks
         rn2, g_max = float(rn2_d), float(g_max_d)
+        _t_blocks += _time.monotonic() - _tb
         for _ in range(cfg.bundle_adjustment_max_iterations):
             if g_max <= 1e-12:
                 found = True
                 break
+            _tb = _time.monotonic()
             new_r, new_t, new_pts, diag = _ba_try_jit(
                 k_stack, r_s, t_s, points, obs, mask,
                 g_a, g_b, s_diag, v, w, mu,
             )
             nn2, d_norm2, p_norm2, rho_den, delta_finite = np.asarray(diag)
+            _t_try += _time.monotonic() - _tb
+            _n_try += 1
             if not delta_finite:
                 return None  # singular reduced camera system
             if np.sqrt(d_norm2) <= 1e-12 * (np.sqrt(p_norm2) + 1e-12):
@@ -426,6 +439,7 @@ def _bundle_adjust_jit(store, cameras, cfg, quiet=False):
                 break
             rho = (rn2 - nn2) / rho_den if rho_den != 0 else -1.0
             if rho > 0:
+                _n_accept += 1
                 r_s, t_s, points = new_r, new_t, new_pts
                 if (
                     np.sqrt(rn2) - np.sqrt(nn2)
@@ -433,9 +447,11 @@ def _bundle_adjust_jit(store, cameras, cfg, quiet=False):
                 ):
                     found = True
                     break
+                _tb = _time.monotonic()
                 blocks = _ba_blocks_jit(k_stack, r_s, t_s, points, obs, mask)
                 g_a, g_b, s_diag, v, w, rn2_d, g_max_d = blocks
                 rn2, g_max = float(rn2_d), float(g_max_d)
+                _t_blocks += _time.monotonic() - _tb
                 mu *= max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
                 nu = 2.0
                 found = True
@@ -446,6 +462,16 @@ def _bundle_adjust_jit(store, cameras, cfg, quiet=False):
                 found = True
                 break
 
+        if _dbg:
+            import sys as _sys
+
+            print(
+                f"[ba-dbg] t={t} (bucket {tb}) m={m} tries={_n_try} "
+                f"accepts={_n_accept} t_blocks={_t_blocks:.3f}s "
+                f"t_try={_t_try:.3f}s total={_time.monotonic()-_t0:.3f}s "
+                f"found={found}",
+                file=_sys.stderr, flush=True,
+            )
         if not found:
             return None
         store.points3d = np.asarray(points)[:t]

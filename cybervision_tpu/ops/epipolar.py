@@ -443,6 +443,57 @@ def solve_perspective_batch(
 # Batched RANSAC sweep
 
 
+def _use_pallas_score() -> bool:
+    """Pallas scoring runs only on real TPU (the CPU backend keeps the
+    chunked XLA form — same convention as ops.correlation's
+    CVTPU_NO_PALLAS gate)."""
+    import os
+
+    if os.environ.get("CVTPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def pack_coord_table(table: np.ndarray) -> np.ndarray | None:
+    """(M, 4) match table -> (2, M) int32 with (x, y) packed 16/16 per
+    image, or None when the coordinates are not exactly representable
+    (non-integral or >= 2^15 — keypoint pixel coordinates always are).
+    Feeds _ransac_batch_core's half-element sampling gather."""
+    if table.size == 0:
+        return None
+    if not np.all((table >= 0) & (table < 32768)):
+        return None
+    if not np.all(table == np.floor(table)):
+        return None
+    xi = table.astype(np.int64)
+    packed = np.stack(
+        [xi[:, 0] * 65536 + xi[:, 1], xi[:, 2] * 65536 + xi[:, 3]]
+    )
+    return packed.astype(np.int32)
+
+
+def _lex_topk_iter(count, err, k: int):
+    """Top-k indices by (count desc, err asc, index asc) — the head of
+    _lex_topk_indices's order — via k argmax passes (O(kN) reductions
+    instead of an N-lane three-key sort). Non-finite errors rank last
+    within their count class, like the sort (NaN/inf sort after all
+    finite keys in lax.sort)."""
+    c = count.astype(jnp.int32)
+    picks = []
+    for _ in range(k):
+        cmax = jnp.max(c)
+        em = jnp.where((c == cmax) & jnp.isfinite(err), err, jnp.inf)
+        emin = jnp.min(em)
+        hit = (c == cmax) & ((em == emin) | (emin == jnp.inf))
+        i = jnp.argmax(hit).astype(jnp.int32)
+        picks.append(i)
+        c = c.at[i].set(-1)
+    return jnp.stack(picks)
+
+
 def _ransac_batch_core(
     key,
     p1,
@@ -459,6 +510,7 @@ def _ransac_batch_core(
     t1=None,
     t2=None,
     top_k: int = 1,
+    packed_t=None,
 ):
     """One device batch of RANSAC hypotheses.
 
@@ -467,6 +519,9 @@ def _ransac_batch_core(
     best-distance prefix, like fundamentalmatrix.rs:159-162.
     t1, t2: optional (3,3) Hartley transforms used for the perspective
     solve; scoring is always in pixel space.
+    packed_t: optional (2, M) int32 16/16-packed coordinate table (see
+    pack_coord_table) — halves the sampling gather's element count with
+    bitwise-identical results for integral match tables.
 
     Returns the batch's top_k hypotheses, score-descending:
     (f (K, 3, 3), count (K,), mean_error (K,)). K > 1 feeds the top-K LM
@@ -480,36 +535,53 @@ def _ransac_batch_core(
     # points are REDRAWN (slot-wise, against earlier slots) — one-shot
     # tuple rejection passes ~1e-4 of 7-point samples on small images.
     # All 13 rounds' draws and their coordinate gathers are HOISTED out
-    # of the loop into one randint + one (13, B, n)-row gather (same
-    # keys, same values — bitwise-identical to drawing inside the loop):
-    # the in-loop random-access gathers were the single largest device
-    # cost of a 50k batch (~26 ms of 66 ms), the hoisted loop is pure
-    # elementwise selects.
-    # The whole phase runs LANE-MAJOR: indices draw as (n, B), the
-    # coordinate gather reads a transposed (4, M) table so its output
-    # (4, 13, n, B) is BORN with the hypothesis axis on the VPU's
-    # 128-lane minor dimension, and the redraw loop's conflict tensors
-    # (4, n, n, B) keep it there. The natural (B, n, n, 4) forms put 7-
-    # and 4-wide axes minor — ~3% tile utilization — and a post-gather
-    # transpose of the 73 MB candidate array costs more than the loop;
-    # gathering INTO the lane-major layout avoids both (measured: the
-    # 12-round loop drops 8.6 -> 1.9 ms per 50k batch). Only the final
-    # selected coordinates (5.6 MB) transpose back for the solver.
-    keys = jax.random.split(key, 2)
-    idx0 = jax.random.randint(keys[0], (n_samples, batch), 0, top_limit)
-    fresh = jnp.stack(
-        [
-            jax.random.randint(
-                jax.random.fold_in(keys[1], i), (n_samples, batch), 0,
-                top_limit,
-            )
-            for i in range(12)
-        ]
-    )  # (12, n, B)
+    # of the loop into ONE randint and one row gather: the in-loop
+    # random-access gathers were the single largest device cost of a 50k
+    # batch (~26 ms of 66 ms), and the 13 separate per-round threefry
+    # kernels another 6 ms (one fused (13, n, B) draw is ~1.5 ms — the
+    # bits differ from 13 split draws, which only permutes which uniform
+    # sample each slot sees).
+    # The whole phase runs LANE-MAJOR: indices draw as (13, n, B), the
+    # coordinate gather reads a transposed table so its output is BORN
+    # with the hypothesis axis on the VPU's 128-lane minor dimension,
+    # and the redraw loop's conflict tensors (4, n, n, B) keep it there.
+    # The natural (B, n, n, 4) forms put 7- and 4-wide axes minor — ~3%
+    # tile utilization — and a post-gather transpose of the candidate
+    # array costs more than the loop; gathering INTO the lane-major
+    # layout avoids both (measured: the 12-round loop drops
+    # 8.6 -> 1.9 ms per 50k batch). Only the final selected coordinates
+    # (5.6 MB) transpose back for the solver.
+    #
+    # When the match table is integral (pixel keypoint coordinates —
+    # always true in the pipeline), callers pass packed_t: a (2, M)
+    # int32 table with (x, y) packed 16/16 per image. The gather then
+    # moves HALF the elements (9.1M vs 18.2M — the gather is
+    # element-rate-bound, not byte-bound) and each round unpacks only
+    # its live (2, n, B) slice, so the unpacked (4, 13, n, B) candidate
+    # array never materializes. Unpacking reproduces the exact f32
+    # coordinate values (ints < 2^15), so the sampled points — and the
+    # round's winner — are BITWISE identical to the float-table path
+    # (tests/test_epipolar.py::test_packed_table_matches_float).
+    all_idx = jax.random.randint(
+        key, (13, n_samples, batch), 0, top_limit
+    )  # (13, n, B)
     tril = jnp.tril(jnp.ones((n_samples, n_samples), bool), k=-1)
-    p_all_t = jnp.concatenate([p1, p2], axis=1).T  # (4, M)
-    all_idx = jnp.concatenate([idx0[None], fresh], axis=0)  # (13, n, B)
-    all_coords = jnp.take(p_all_t, all_idx, axis=1)  # (4, 13, n, B)
+
+    if packed_t is None:
+        p_all_t = jnp.concatenate([p1, p2], axis=1).T  # (4, M)
+        all_coords = jnp.take(p_all_t, all_idx, axis=1)  # (4, 13, n, B)
+
+        def round_coords(i):
+            return all_coords[:, i]
+
+    else:
+        all_packed = jnp.take(packed_t, all_idx, axis=1)  # (2, 13, n, B)
+
+        def round_coords(i):
+            pk = all_packed[:, i]  # (2, n, B) int32
+            hi = jnp.right_shift(pk, 16).astype(jnp.float32)
+            lo = jnp.bitwise_and(pk, 0xFFFF).astype(jnp.float32)
+            return jnp.stack([hi[0], lo[0], hi[1], lo[1]])  # (4, n, B)
 
     def redraw(i, coords):
         # coords: (4, n, B)
@@ -518,9 +590,9 @@ def _ransac_batch_core(
         conflict = jnp.any(
             close & tril[:, :, None], axis=1
         )  # (n, B): later slot redraws against earlier slots
-        return jnp.where(conflict[None], all_coords[:, i + 1], coords)
+        return jnp.where(conflict[None], round_coords(i + 1), coords)
 
-    coords = jax.lax.fori_loop(0, 12, redraw, all_coords[:, 0])
+    coords = jax.lax.fori_loop(0, 12, redraw, round_coords(0))
     diff = jnp.abs(coords[:, :, None, :] - coords[:, None, :, :])
     close = jnp.any(diff < min_inlier_distance, axis=0)
     iu = jnp.triu_indices(n_samples, k=1)
@@ -559,31 +631,41 @@ def _ransac_batch_core(
         jnp.isfinite(own) & (own <= threshold), axis=2
     ).reshape(-1)
 
-    # Chunked scoring: only a (chunk, M) error tile is ever live, with
-    # running (count, error-sum) reductions — the TPU analog of the
-    # reference's corridor segmentation discipline (gpu/mod.rs:31-35).
-    # Chunk choice is pure performance (per-candidate reductions are
-    # chunking-invariant): 8192 cuts the lax.map's sequential step count
-    # 4x — the per-step dispatch overhead, not the arithmetic, dominated
-    # the scoring stage at 2048.
-    chunk = 8192
     total = ff.shape[0]
-    pad = (-total) % chunk
-    ff_p = jnp.pad(ff, ((0, pad), (0, 0), (0, 0)))
+    if _use_pallas_score():
+        # VMEM-resident Pallas scoring: the 5 per-(candidate, match)
+        # linear forms ride the MXU and nothing (chunk, M)-sized ever
+        # touches HBM — 17.5 ms -> ~3 ms per 50k round (ops.pallas_score
+        # docstring has the roofline).
+        from cybervision_tpu.ops.pallas_score import score_candidates
 
-    def score_chunk(f_c):
-        err = sampson_error(f_c, p1, p2)  # (chunk, M)
-        fits = jnp.isfinite(err) & (err <= threshold) & m_valid[None, :]
-        count = jnp.sum(fits, axis=1)
-        err_sum = jnp.sum(jnp.where(fits, err, 0.0), axis=1)
-        return count, err_sum
+        count, err_sum = score_candidates(ff, p1, p2, m_valid, threshold)
+    else:
+        # Chunked XLA scoring (CPU backend / CVTPU_NO_PALLAS): only a
+        # (chunk, M) error tile is ever live, with running
+        # (count, error-sum) reductions — the TPU analog of the
+        # reference's corridor segmentation discipline (gpu/mod.rs:31-35).
+        # Chunk choice is pure performance (per-candidate reductions are
+        # chunking-invariant): 8192 cuts the lax.map's sequential step
+        # count 4x — the per-step dispatch overhead, not the arithmetic,
+        # dominated the scoring stage at 2048.
+        chunk = 8192
+        pad = (-total) % chunk
+        ff_p = jnp.pad(ff, ((0, pad), (0, 0), (0, 0)))
 
-    n_chunks = (total + pad) // chunk
-    count, err_sum = jax.lax.map(
-        score_chunk, ff_p.reshape(n_chunks, chunk, 3, 3)
-    )
-    count = count.reshape(-1)[:total]
-    err_sum = err_sum.reshape(-1)[:total]
+        def score_chunk(f_c):
+            err = sampson_error(f_c, p1, p2)  # (chunk, M)
+            fits = jnp.isfinite(err) & (err <= threshold) & m_valid[None, :]
+            count = jnp.sum(fits, axis=1)
+            err_sum = jnp.sum(jnp.where(fits, err, 0.0), axis=1)
+            return count, err_sum
+
+        n_chunks = (total + pad) // chunk
+        count, err_sum = jax.lax.map(
+            score_chunk, ff_p.reshape(n_chunks, chunk, 3, 3)
+        )
+        count = count.reshape(-1)[:total]
+        err_sum = err_sum.reshape(-1)[:total]
 
     good = vv & own_ok & (count >= min_count)
     count = jnp.where(good, count, 0)
@@ -591,12 +673,14 @@ def _ransac_batch_core(
 
     # Order: most matches, then lowest mean inlier error
     # (fundamentalmatrix.rs:623-649) — an exact lexicographic two-key
-    # sort. A single combined float score (count - err/threshold) loses
-    # the error tiebreak to rounding: at count ~5000 an f32 fraction has
-    # only ~2^-11 of resolution, so near-equal errors collapse and top_k
-    # can drop the lower-error hypothesis at the K boundary.
-    top_i = _lex_topk_indices(count, mean_err)
-    top_i = top_i[: min(top_k, top_i.shape[0])]
+    # selection. A single combined float score (count - err/threshold)
+    # loses the error tiebreak to rounding: at count ~5000 an f32
+    # fraction has only ~2^-11 of resolution, so near-equal errors
+    # collapse and top_k can drop the lower-error hypothesis at the K
+    # boundary. K argmax passes instead of a full sort: the 150k-lane
+    # three-key sort cost 3.9 ms of a 41 ms round; this is < 0.5 ms and
+    # selects the same indices in the same order.
+    top_i = _lex_topk_iter(count, mean_err, min(top_k, total))
     return ff[top_i], count[top_i], mean_err[top_i]
 
 
@@ -624,6 +708,7 @@ def _ransac_rounds_core(
     t1=None,
     t2=None,
     top_k: int = 1,
+    packed_t=None,
 ):
     """EVERY early-exit round fused into one program via lax.scan with a
     running top-K carry — one dispatch and one fetch for the whole
@@ -657,7 +742,7 @@ def _ransac_rounds_core(
             min_inlier_distance, min_count,
             n_samples=n_samples, batch=batch,
             projection_affine=projection_affine, rank_eps=rank_eps,
-            t1=t1, t2=t2, top_k=top_k,
+            t1=t1, t2=t2, top_k=top_k, packed_t=packed_t,
         )
         fs2 = jnp.concatenate([fs, f.astype(jnp.float32)])
         cs2 = jnp.concatenate([cs, c.astype(jnp.int32)])
@@ -702,6 +787,7 @@ def ransac_batch_pairs(
     t1=None,
     t2=None,
     top_k: int = 1,
+    packed_t=None,
 ):
     """ransac_batch vmapped over a leading image-pair axis.
 
@@ -729,23 +815,26 @@ def ransac_batch_pairs(
         rank_eps=rank_eps,
         top_k=top_k,
     )
+    pk_axis = None if packed_t is None else 0
     if projection_affine:
         return jax.vmap(
-            lambda p1_, p2_, mv_, tl_, t_: _pack_candidates_core(
+            lambda p1_, p2_, mv_, tl_, t_, pk_: _pack_candidates_core(
                 *_ransac_batch_core(
                     key, p1_, p2_, mv_, tl_, t_, min_inlier_distance,
-                    min_count, **kwargs
+                    min_count, packed_t=pk_, **kwargs
                 )
-            )
-        )(p1, p2, m_valid, top_limit, threshold)
+            ),
+            in_axes=(0, 0, 0, 0, 0, pk_axis),
+        )(p1, p2, m_valid, top_limit, threshold, packed_t)
     return jax.vmap(
-        lambda p1_, p2_, mv_, tl_, t_, t1_, t2_: _pack_candidates_core(
+        lambda p1_, p2_, mv_, tl_, t_, t1_, t2_, pk_: _pack_candidates_core(
             *_ransac_batch_core(
                 key, p1_, p2_, mv_, tl_, t_, min_inlier_distance,
-                min_count, t1=t1_, t2=t2_, **kwargs
+                min_count, t1=t1_, t2=t2_, packed_t=pk_, **kwargs
             )
-        )
-    )(p1, p2, m_valid, top_limit, threshold, t1, t2)
+        ),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, pk_axis),
+    )(p1, p2, m_valid, top_limit, threshold, t1, t2, packed_t)
 
 
 # ---------------------------------------------------------------------------
@@ -770,6 +859,7 @@ def ransac_batch_sharded(
     t1=None,
     t2=None,
     top_k: int = 1,
+    packed_t=None,
 ):
     """ransac_batch with the hypothesis batch sharded over the mesh.
 
@@ -810,6 +900,7 @@ def ransac_batch_sharded(
             t1=t1,
             t2=t2,
             top_k=top_k,
+            packed_t=packed_t,
         )
         return f[None], c[None], e[None]
 
@@ -858,6 +949,7 @@ def ransac_batch_packed(
     t1=None,
     t2=None,
     top_k: int = 1,
+    packed_t=None,
 ):
     """ransac_batch with the (K, 11) candidate packing fused into the
     same program — one dispatch per early-exit round instead of two."""
@@ -865,7 +957,7 @@ def ransac_batch_packed(
         key, p1, p2, m_valid, top_limit, threshold, min_inlier_distance,
         min_count, n_samples=n_samples, batch=batch,
         projection_affine=projection_affine, rank_eps=rank_eps,
-        t1=t1, t2=t2, top_k=top_k,
+        t1=t1, t2=t2, top_k=top_k, packed_t=packed_t,
     )
     return _pack_candidates_core(f, c, e)
 
@@ -1187,6 +1279,8 @@ def find_fundamental_matrix(
     p2 = jnp.asarray(mpad[:, 2:4], jnp.float32)
     m_valid = jnp.asarray(np.arange(mb) < m)
     top_limit = min(m, cfg.top_inliers)
+    packed_np = pack_coord_table(mpad)
+    packed = None if packed_np is None else jnp.asarray(packed_np)
 
     t1 = t2 = None
     if projection == ProjectionMode.PERSPECTIVE:
@@ -1247,14 +1341,15 @@ def find_fundamental_matrix(
         for _ in range(n_batches):
             key, sub = jax.random.split(key)
             subs.append(sub)
-        packed = ransac_rounds_packed(
+        packed_out = ransac_rounds_packed(
             jnp.stack(subs), p1, p2, m_valid, top_limit, t,
             float(cfg.min_inlier_distance), d + n,
             n_samples=n, batch=batch,
             projection_affine=projection == ProjectionMode.AFFINE,
             rank_eps=cfg.rank_epsilon, t1=t1, t2=t2, top_k=want_k,
+            packed_t=packed,
         )
-        best_count = absorb(np.asarray(packed))
+        best_count = absorb(np.asarray(packed_out))
         if progress is not None:
             progress.report_status(1.0)
             if hasattr(progress, "report_matches"):
@@ -1292,6 +1387,7 @@ def find_fundamental_matrix(
             t1=t1,
             t2=t2,
             top_k=want_k,
+            packed_t=packed,
         )
         stop = False
         if pending is not None:
@@ -1388,6 +1484,27 @@ def _pick_winner(
     )
 
 
+
+
+def _ransac_debug_logger():
+    """Opt-in stderr stage logging for the fused multi-pair driver
+    (CVTPU_RANSAC_DEBUG=1): returns a timestamped log callable, or None
+    when disabled — keeps the dispatch loop free of inline
+    instrumentation (ADVICE r4)."""
+    import os
+    import sys
+    import time
+
+    if not os.environ.get("CVTPU_RANSAC_DEBUG"):
+        return None
+    t0 = time.time()
+
+    def log(msg: str) -> None:
+        print(f"[ransac-dbg] {msg} @ {time.time()-t0:.3f}s", file=sys.stderr)
+
+    return log
+
+
 def find_fundamental_matrix_multi(
     matches_list: list[np.ndarray],
     projection: ProjectionMode,
@@ -1410,7 +1527,10 @@ def find_fundamental_matrix_multi(
     (pipelined one deep), and the round-by-round mode's vmapped lanes
     are pinned bitwise by
     tests/test_epipolar.py::test_multi_pair_matches_sequential /
-    test_fused_rounds_match_round_by_round. Guarantees:
+    test_fused_rounds_match_round_by_round, including a mixed-bucket
+    scene (one >2048-match pair forcing the shared 8192 bucket,
+    test_multi_pair_mixed_buckets_matches_sequential — ADVICE r4).
+    Guarantees:
     * the PRNG round keys are split from PRNGKey(cfg.seed) exactly like
       the sequential driver and shared across the pair axis, and each
       lane's draws are a deterministic function of (key, shape, maxval);
@@ -1483,6 +1603,8 @@ def find_fundamental_matrix_multi(
         th = np.zeros((p_bucket,), np.float32)
         t1s = np.zeros((p_bucket, 3, 3), np.float32)
         t2s = np.zeros((p_bucket, 3, 3), np.float32)
+        pks = np.zeros((p_bucket, 2, mb), np.int32)
+        all_packed = True
         for li, pi in enumerate(padded):
             e = prep[pi]
             p1[li, : e["m"]] = e["matches"][:, 0:2]
@@ -1493,11 +1615,19 @@ def find_fundamental_matrix_multi(
             if not affine:
                 t1s[li] = e["t1"]
                 t2s[li] = e["t2"]
+            if all_packed:
+                mpad_li = np.concatenate([p1[li], p2[li]], axis=1)
+                pk = pack_coord_table(mpad_li)
+                if pk is None:
+                    all_packed = False  # uniform path for every lane
+                else:
+                    pks[li] = pk
         return (
             jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(mv),
             jnp.asarray(tl), jnp.asarray(th),
             None if affine else jnp.asarray(t1s),
             None if affine else jnp.asarray(t2s),
+            jnp.asarray(pks) if all_packed else None,
         )
 
     def absorb(lanes: list[int], packed: np.ndarray) -> None:
@@ -1554,12 +1684,7 @@ def find_fundamental_matrix_multi(
             pool.sort(key=lambda e: (-e[1], e[2]))
             del pool[want_k:]
 
-        import os as _os
-        import sys as _sys
-        import time as _time
-
-        _dbg = bool(_os.environ.get("CVTPU_RANSAC_DEBUG"))
-        _t0 = _time.time()
+        _dbg = _ransac_debug_logger()
         pending: tuple[int, object] | None = None
         lanes = list(prep)
         for li, pi in enumerate(lanes):
@@ -1579,14 +1704,17 @@ def find_fundamental_matrix_multi(
             mv = jnp.asarray(np.arange(mb_i) < e["m"])
             t1 = None if affine else jnp.asarray(e["t1"], jnp.float32)
             t2 = None if affine else jnp.asarray(e["t2"], jnp.float32)
+            pk_np = pack_coord_table(mpad)
+            pk = None if pk_np is None else jnp.asarray(pk_np)
             packed_dev = ransac_rounds_packed(
                 subs, p1, p2, mv, e["top_limit"], e["t"],
                 float(cfg.min_inlier_distance), d + n,
                 n_samples=n, batch=batch, projection_affine=affine,
                 rank_eps=cfg.rank_epsilon, t1=t1, t2=t2, top_k=want_k,
+                packed_t=pk,
             )
             if _dbg:
-                print(f"[ransac-dbg] pair {pi} dispatched @ {_time.time()-_t0:.3f}s (m={e['m']}, mb={mb_i})", file=_sys.stderr)
+                _dbg(f"pair {pi} dispatched (m={e['m']}, mb={mb_i})")
             if pending is not None:
                 absorb_one(pending[0], np.asarray(pending[1]))
                 # Finalize (LM refinement on the CPU backend) runs
@@ -1601,7 +1729,7 @@ def find_fundamental_matrix_multi(
                     prep, pools, results, pending[0], projection, cfg
                 )
                 if _dbg:
-                    print(f"[ransac-dbg] pair {pending[0]} absorbed+finalized @ {_time.time()-_t0:.3f}s", file=_sys.stderr)
+                    _dbg(f"pair {pending[0]} absorbed+finalized")
             pending = (pi, packed_dev)
             if progress is not None:
                 progress.report_status(li / len(lanes))
@@ -1609,7 +1737,7 @@ def find_fundamental_matrix_multi(
             absorb_one(pending[0], np.asarray(pending[1]))
             _complete_pair(prep, pools, results, pending[0], projection, cfg)
             if _dbg:
-                print(f"[ransac-dbg] last pair absorbed+finalized @ {_time.time()-_t0:.3f}s", file=_sys.stderr)
+                _dbg("last pair absorbed+finalized")
         if progress is not None:
             progress.report_status(1.0)
         return results
@@ -1625,12 +1753,13 @@ def find_fundamental_matrix_multi(
         if lanes != cached_lanes:
             cached_lanes = list(lanes)
             cached_arrays = build(lanes)
-        p1, p2, mv, tl, th, t1s, t2s = cached_arrays
+        p1, p2, mv, tl, th, t1s, t2s, pks = cached_arrays
         packed_dev = ransac_batch_pairs(
             sub, p1, p2, mv, tl, th,
             float(cfg.min_inlier_distance), d + n,
             n_samples=n, batch=batch, projection_affine=affine,
             rank_eps=cfg.rank_epsilon, t1=t1s, t2=t2s, top_k=want_k,
+            packed_t=pks,
         )
         if pending is not None:
             absorb(pending[0], np.asarray(pending[1]))

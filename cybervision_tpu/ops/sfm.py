@@ -880,10 +880,19 @@ class SfmPipeline:
 
     # -- finalize ---------------------------------------------------------
     def complete(self, max_points=None, bundle_adjustment=True) -> Surface:
-        """triangulation.rs:817-864."""
-        from cybervision_tpu.utils.progress import DetailTimer
+        """triangulation.rs:817-864.
 
-        with DetailTimer("final DLT triangulation"):
+        The reference times this finalization as its own printed phase
+        (reconstruction.rs:754-790); the quiet PhaseTimers here promote
+        the DLT / outlier-filter / BA split into the collect_phases
+        accumulator so the bench JSON carries it (the DetailTimer prints
+        stay opt-in via CVTPU_PHASE_DETAIL).
+        """
+        from cybervision_tpu.utils.progress import DetailTimer, PhaseTimer
+
+        with PhaseTimer("Finalize DLT", True), DetailTimer(
+            "final DLT triangulation"
+        ):
             self._triangulate_all_tracks()
         live = [i for i, p in enumerate(self.projections) if p is not None]
         cameras = [self.cameras[i] for i in live]
@@ -894,14 +903,18 @@ class SfmPipeline:
         self.projections = [self.projections[i] for i in live]
         self.cameras = cameras
 
-        with DetailTimer("outlier filter"):
+        with PhaseTimer("Finalize outlier filter", True), DetailTimer(
+            "outlier filter"
+        ):
             filter_outliers(self.store, cameras, self.tcfg)
             self._compact()
 
         if bundle_adjustment and len(self.store):
             from cybervision_tpu.ops import ba
 
-            with DetailTimer("bundle adjustment"):
+            with PhaseTimer("Finalize bundle adjustment", True), DetailTimer(
+                "bundle adjustment"
+            ):
                 new_cams = ba.bundle_adjust(
                     self.store, cameras, self.tcfg, quiet=self.quiet
                 )

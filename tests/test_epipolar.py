@@ -354,3 +354,130 @@ def test_clean_cpu_worker_matches_inline(rng, monkeypatch):
             assert a is None and b is None
         else:
             np.testing.assert_array_equal(a, b)
+
+
+def test_packed_table_matches_float(rng):
+    """The 16/16-packed sampling gather must be BITWISE identical to the
+    float-table path for integral match tables (ops.epipolar
+    _ransac_batch_core packed_t docs)."""
+    matches, _ = _perspective_scene(rng)
+    # Keypoint coordinates are non-negative in production; the rendered
+    # scene's outliers can project negative — drop those rows.
+    matches = matches[np.all(matches >= 0, axis=1)]
+    mb = 2048
+    mpad = np.zeros((mb, 4), matches.dtype)
+    mpad[: len(matches)] = matches
+    p1 = jnp.asarray(mpad[:, 0:2], jnp.float32)
+    p2 = jnp.asarray(mpad[:, 2:4], jnp.float32)
+    mv = jnp.asarray(np.arange(mb) < len(matches))
+    t1 = jnp.asarray(epipolar._hartley_np(matches[:, 0:2]), jnp.float32)
+    t2 = jnp.asarray(epipolar._hartley_np(matches[:, 2:4]), jnp.float32)
+    packed = jnp.asarray(epipolar.pack_coord_table(mpad))
+    import jax
+
+    key = jax.random.PRNGKey(7)
+    args = (key, p1, p2, mv, len(matches), 6.4, 10.0, 57)
+    kw = dict(
+        n_samples=7, batch=512, projection_affine=False, rank_eps=1e-3,
+        t1=t1, t2=t2, top_k=4,
+    )
+    f_a, c_a, e_a = epipolar.ransac_batch(*args, **kw)
+    f_b, c_b, e_b = epipolar.ransac_batch(*args, **kw, packed_t=packed)
+    np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
+    np.testing.assert_array_equal(np.asarray(c_a), np.asarray(c_b))
+    np.testing.assert_array_equal(np.asarray(e_a), np.asarray(e_b))
+
+
+def test_pack_coord_table_rejects_nonintegral():
+    t = np.array([[1.5, 2.0, 3.0, 4.0]])
+    assert epipolar.pack_coord_table(t) is None
+    t2 = np.array([[1.0, 2.0, 40000.0, 4.0]])
+    assert epipolar.pack_coord_table(t2) is None
+    t3 = np.array([[1, 2, 32767, 4]], np.int64)
+    pk = epipolar.pack_coord_table(t3)
+    assert pk.dtype == np.int32
+    assert pk[0, 0] == 1 * 65536 + 2 and pk[1, 0] == 32767 * 65536 + 4
+
+
+def test_lex_topk_iter_matches_sort(rng):
+    """The K-argmax selection must pick the same indices, in the same
+    order, as the head of the exact three-key lexicographic sort —
+    including duplicate (count, err) groups (stable index order)."""
+    n, k = 1000, 8
+    count = jnp.asarray(rng.randint(0, 5, n), jnp.int32)  # many duplicates
+    err = jnp.asarray(
+        np.round(rng.uniform(0, 1, n), 2), jnp.float32
+    )  # duplicate errs too
+    ref = np.asarray(epipolar._lex_topk_indices(count, err))[:k]
+    got = np.asarray(epipolar._lex_topk_iter(count, err, k))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_pallas_score_matches_xla(rng):
+    """Interpret-mode Pallas scoring vs the chunked XLA form: identical
+    inlier counts and closely matching error sums (the linear forms are
+    the same 9-term contraction evaluated in a different order)."""
+    from cybervision_tpu.ops import pallas_score
+
+    matches, f_true = _perspective_scene(rng)
+    mb = 2048
+    mpad = np.zeros((mb, 4), np.float64)
+    mpad[: len(matches)] = matches
+    p1 = jnp.asarray(mpad[:, 0:2], jnp.float32)
+    p2 = jnp.asarray(mpad[:, 2:4], jnp.float32)
+    mv = jnp.asarray(np.arange(mb) < len(matches))
+    # Candidates: perturbations of the true F plus junk.
+    c = 96
+    fs = np.stack(
+        [
+            f_true * (1 + 0.02 * i) + 1e-4 * rng.standard_normal((3, 3))
+            for i in range(c - 8)
+        ]
+        + [np.zeros((3, 3))] * 4
+        + [rng.standard_normal((3, 3)) for _ in range(4)]
+    ).astype(np.float32)
+    ff = jnp.asarray(fs)
+    t = 6.4
+    cnt_p, es_p = pallas_score.score_candidates(
+        ff, p1, p2, mv, t, interpret=True
+    )
+    cnt_x, es_x = pallas_score.score_candidates_xla(ff, p1, p2, mv, t)
+    np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_x))
+    np.testing.assert_allclose(
+        np.asarray(es_p), np.asarray(es_x), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_multi_pair_mixed_buckets_matches_sequential(rng):
+    """ADVICE r4: the round-by-round multi driver pads every pair to one
+    SHARED match bucket (max over pairs); a scene mixing a >2048-match
+    pair with small pairs exercises the larger shared tile. Winners
+    must still match the sequential driver per pair (the scoring
+    reduction is mask-gated, and padded rows contribute exactly zero to
+    count and err_sum)."""
+    scenes = [
+        _perspective_scene(rng, n_points=2300, n_outliers=100),  # 8192 bucket
+        _perspective_scene(rng, n_points=180, n_outliers=60),  # 2048 bucket
+    ]
+    matches_list = [m for m, _ in scenes]
+    assert len(matches_list[0]) > 2048 >= len(matches_list[1])
+    max_dims = [640.0, 640.0]
+    cfg = _small_cfg()
+    seq = [
+        epipolar.find_fundamental_matrix(
+            m, ProjectionMode.PERSPECTIVE, dim, cfg
+        )
+        for m, dim in zip(matches_list, max_dims)
+    ]
+    epipolar._FORCE_ROUND_LOOP = True
+    try:
+        multi = epipolar.find_fundamental_matrix_multi(
+            matches_list, ProjectionMode.PERSPECTIVE, max_dims, cfg
+        )
+    finally:
+        epipolar._FORCE_ROUND_LOOP = False
+    for s, r in zip(seq, multi):
+        assert not isinstance(r, Exception)
+        np.testing.assert_array_equal(r.f, s.f)
+        np.testing.assert_array_equal(r.inliers, s.inliers)
+        assert r.matches_count == s.matches_count

@@ -1,7 +1,13 @@
-"""Scan-based stage decomposition: 20 scanned rounds of cumulative
-sub-pipelines — per-round stage costs free of dispatch-floor noise."""
+"""Scan-based stage decomposition of the PRODUCTION lane-major RANSAC
+round (_ransac_batch_core's exact stage code, cumulative sub-pipelines,
+20 scanned rounds) — per-round stage costs free of dispatch-floor noise.
+
+Usage: python tools/bench_ransac_scan_stages2.py
+"""
 import time
-import jax, jax.numpy as jnp
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -13,52 +19,58 @@ from cybervision_tpu.ops import epipolar as ep
 if __name__ == "__main__":
     B, N, MB, M_REAL, R = 50_000, 7, 2048, 1800, 20
     rng = np.random.RandomState(0)
-    m = np.zeros((MB, 4), np.float32); m[:M_REAL] = rng.uniform(0, 320, (M_REAL, 4))
+    m = np.zeros((MB, 4), np.float32)
+    m[:M_REAL] = rng.uniform(0, 320, (M_REAL, 4))
     p1, p2 = jnp.asarray(m[:, :2]), jnp.asarray(m[:, 2:])
     mv = jnp.asarray(np.arange(MB) < M_REAL)
     t1 = jnp.asarray(ep._hartley_np(m[:M_REAL, :2]), jnp.float32)
     t2 = jnp.asarray(ep._hartley_np(m[:M_REAL, 2:]), jnp.float32)
-    cfg = RansacConfig(); t = cfg.ransac_t_perspective * 320.0
+    cfg = RansacConfig()
+    t = cfg.ransac_t_perspective * 320.0
     key = jax.random.PRNGKey(0)
     subs = []
     for _ in range(R):
-        key, sub = jax.random.split(key); subs.append(sub)
+        key, sub = jax.random.split(key)
+        subs.append(sub)
     subs = jnp.stack(subs)
     min_d = 10.0
+    tril = jnp.tril(jnp.ones((N, N), bool), k=-1)
+    p_all_t = jnp.concatenate([p1, p2], axis=1).T  # (4, M)
 
+    def draw_stage(rk):
+        keys = jax.random.split(rk, 2)
+        idx0 = jax.random.randint(keys[0], (N, B), 0, M_REAL)
+        fresh = jnp.stack(
+            [
+                jax.random.randint(
+                    jax.random.fold_in(keys[1], i), (N, B), 0, M_REAL
+                )
+                for i in range(12)
+            ]
+        )
+        return jnp.concatenate([idx0[None], fresh], axis=0)  # (13, N, B)
+
+    def gather_stage(rk):
+        all_idx = draw_stage(rk)
+        return jnp.take(p_all_t, all_idx, axis=1)  # (4, 13, N, B)
 
     def sample_stage(rk):
-        keys = jax.random.split(rk, 2)
-        idx0 = jax.random.randint(keys[0], (B, N), 0, M_REAL)
-        fresh = jnp.stack([
-            jax.random.randint(jax.random.fold_in(keys[1], i), (B, N), 0, M_REAL)
-            for i in range(12)
-        ])
-        tril = jnp.tril(jnp.ones((N, N), bool), k=-1)
-        p_all = jnp.concatenate([p1, p2], axis=1)
-        all_coords = p_all[jnp.concatenate([idx0[None], fresh], axis=0)]
-        all_coords_t = jnp.transpose(all_coords, (0, 2, 3, 1))
-        fresh_t = jnp.transpose(fresh, (0, 2, 1))
-        idx0_t = idx0.T
+        all_coords = gather_stage(rk)
 
-        def conflicts(ct):
-            diff = jnp.abs(ct[:, None] - ct[None, :])
-            return jnp.any(diff < min_d, axis=2)
-
-        def redraw(i, state):
-            idx_t, ct = state
-            close = conflicts(ct)
+        def redraw(i, coords):
+            diff = jnp.abs(coords[:, :, None, :] - coords[:, None, :, :])
+            close = jnp.any(diff < min_d, axis=0)
             conflict = jnp.any(close & tril[:, :, None], axis=1)
-            return (jnp.where(conflict, fresh_t[i], idx_t),
-                    jnp.where(conflict[:, None, :], all_coords_t[i + 1], ct))
+            return jnp.where(conflict[None], all_coords[:, i + 1], coords)
 
-        idx_t, ct = jax.lax.fori_loop(0, 12, redraw, (idx0_t, all_coords_t[0]))
-        close = conflicts(ct)
+        coords = jax.lax.fori_loop(0, 12, redraw, all_coords[:, 0])
+        diff = jnp.abs(coords[:, :, None, :] - coords[:, None, :, :])
+        close = jnp.any(diff < min_d, axis=0)
         iu = jnp.triu_indices(N, k=1)
         sample_ok = ~jnp.any(close[iu[0], iu[1]], axis=0)
-        coords = jnp.transpose(ct, (2, 0, 1))
-        return coords[:, :, 0:2], coords[:, :, 2:4], sample_ok
-
+        s1 = jnp.transpose(coords[0:2], (2, 1, 0))
+        s2 = jnp.transpose(coords[2:4], (2, 1, 0))
+        return s1, s2, sample_ok
 
     def solve_stage(rk):
         s1, s2, ok = sample_stage(rk)
@@ -69,15 +81,13 @@ if __name__ == "__main__":
         denom = f[..., 2, 2]
         dok = jnp.abs(denom) > 1e-20
         f = f / jnp.where(dok, denom, 1.0)[..., None, None]
-        return f, valid & dok[...] & ok[:, None], s1, s2
-
+        return f, valid & dok & ok[:, None], s1, s2
 
     def own_stage(rk):
         f, valid, s1, s2 = solve_stage(rk)
         own = jax.vmap(ep.sampson_error)(f, s1, s2)
         own_ok = jnp.all(jnp.isfinite(own) & (own <= t), axis=2).reshape(-1)
         return f, valid, own_ok
-
 
     def score_stage(rk):
         f, valid, own_ok = own_stage(rk)
@@ -86,46 +96,55 @@ if __name__ == "__main__":
         total = ff.shape[0]
         pad = (-total) % chunk
         ff_p = jnp.pad(ff, ((0, pad), (0, 0), (0, 0)))
+
         def score_chunk(f_c):
             err = ep.sampson_error(f_c, p1, p2)
             fits = jnp.isfinite(err) & (err <= t) & mv[None, :]
-            return jnp.sum(fits, axis=1), jnp.sum(jnp.where(fits, err, 0.0), axis=1)
+            return (
+                jnp.sum(fits, axis=1),
+                jnp.sum(jnp.where(fits, err, 0.0), axis=1),
+            )
+
         nch = (total + pad) // chunk
-        count, err_sum = jax.lax.map(score_chunk, ff_p.reshape(nch, chunk, 3, 3))
+        count, err_sum = jax.lax.map(
+            score_chunk, ff_p.reshape(nch, chunk, 3, 3)
+        )
         count = count.reshape(-1)[:total]
         err_sum = err_sum.reshape(-1)[:total]
         good = valid.reshape(-1) & own_ok & (count >= 207)
         count = jnp.where(good, count, 0)
         return ff, count, err_sum / jnp.maximum(count, 1)
 
-
     def full_stage(rk):
         ff, count, mean_err = score_stage(rk)
         i = ep._lex_topk_indices(count, mean_err)[:8]
         return ep._pack_candidates_core(ff[i], count[i], mean_err[i])
-
 
     def scanner(stage, reduce_fn):
         def run():
             def body(c, rk):
                 out = reduce_fn(stage(rk))
                 return c + out, None
+
             s, _ = jax.lax.scan(body, jnp.float32(0), subs)
             return s
+
         return jax.jit(run)
 
-
     def once(fn):
-        t0 = time.time(); o = fn(); np.asarray(jax.device_get(jnp.ravel(o)[0]))
+        t0 = time.time()
+        o = fn()
+        np.asarray(jax.device_get(jnp.ravel(o)[0]))
         return time.time() - t0
 
-
     def timed(fn, n=3):
-        once(fn); return min(once(fn) for _ in range(n))
-
+        once(fn)
+        return min(once(fn) for _ in range(n))
 
     stages = [
-        ("sampling", scanner(sample_stage, lambda o: o[0].sum())),
+        ("draw", scanner(draw_stage, lambda o: o.sum().astype(jnp.float32))),
+        ("+gather", scanner(gather_stage, lambda o: o.sum())),
+        ("+redraw", scanner(sample_stage, lambda o: o[0].sum())),
         ("+solve", scanner(solve_stage, lambda o: o[0].sum())),
         ("+own", scanner(own_stage, lambda o: jnp.sum(o[2].astype(jnp.float32)))),
         ("+score", scanner(score_stage, lambda o: jnp.sum(o[1].astype(jnp.float32)))),
@@ -134,5 +153,8 @@ if __name__ == "__main__":
     prev = 0.0
     for name, fn in stages:
         dt = timed(fn)
-        print(f"{name:12s} {dt/R*1e3:7.1f} ms/round  (delta {(dt-prev)/R*1e3:+6.1f})", flush=True)
+        print(
+            f"{name:12s} {dt/R*1e3:7.1f} ms/round  (delta {(dt-prev)/R*1e3:+6.1f})",
+            flush=True,
+        )
         prev = dt
