@@ -183,15 +183,38 @@ def solve_affine_batch(s1: jnp.ndarray, s2: jnp.ndarray, rank_eps: float):
     return f, valid
 
 
-def cubic_roots(c3, c2, c1, c0):
+def cubic_roots(c3, c2, c1, c0, axis: int = -1):
     """Real roots of c3 x^3 + c2 x^2 + c1 x + c0, batched.
 
-    Returns (roots (..., 3), valid (..., 3)); invalid slots are masked.
-    Falls back to the quadratic/linear cases when leading coefficients
-    vanish (the reference delegates to roots::find_roots_cubic).
+    Returns (roots, valid) with the 3 root slots stacked on `axis`
+    (default -1: shapes (..., 3)); invalid slots are masked. Falls back
+    to the quadratic/linear cases when leading coefficients vanish (the
+    reference delegates to roots::find_roots_cubic). axis=0 keeps a
+    lane-major batch on the minor axis — used by the perspective
+    validity chain, where a (..., 3)-minor layout wastes 42/128 of
+    every VPU tile.
     """
     dt = c3.dtype
     tiny = jnp.asarray(1e-20, dt)
+
+    if axis == 0:
+        def ex(x):  # root-slot axis leading
+            return x[None]
+
+        def stk(parts):
+            return jnp.stack(parts, axis=0)
+
+        k3 = jnp.arange(3, dtype=dt).reshape((3,) + (1,) * c3.ndim)
+    else:
+        assert axis == -1
+
+        def ex(x):
+            return x[..., None]
+
+        def stk(parts):
+            return jnp.stack(parts, axis=-1)
+
+        k3 = jnp.arange(3, dtype=dt)
 
     # --- cubic branch (depressed cubic + trigonometric/Cardano method)
     a = jnp.where(jnp.abs(c3) > tiny, c3, 1.0)
@@ -212,54 +235,40 @@ def cubic_roots(c3, c2, c1, c0):
     m = 2.0 * jnp.sqrt(-pm / 3.0)
     arg = jnp.clip(3.0 * q / (pm * m), -1.0, 1.0)
     theta = jnp.arccos(arg) / 3.0
-    k = jnp.arange(3, dtype=dt)
-    root_triple = (
-        m[..., None] * jnp.cos(theta[..., None] - 2.0 * jnp.pi * k / 3.0)
-        + shift[..., None]
+    root_triple = ex(m) * jnp.cos(ex(theta) - 2.0 * jnp.pi * k3 / 3.0) + ex(
+        shift
     )
 
     three = disc <= 0
     cubic_r = jnp.where(
-        three[..., None],
+        ex(three),
         root_triple,
-        jnp.stack([root_single, root_single, root_single], axis=-1),
+        stk([root_single, root_single, root_single]),
     )
-    cubic_ok = jnp.concatenate(
-        [
-            jnp.ones_like(three[..., None]),
-            jnp.broadcast_to(three[..., None], three.shape + (2,)),
-        ],
-        axis=-1,
-    )
+    cubic_ok = stk([jnp.ones_like(three), three, three])
 
     # --- quadratic branch c2 x^2 + c1 x + c0
     qa = jnp.where(jnp.abs(c2) > tiny, c2, 1.0)
     qd = c1 * c1 - 4.0 * c2 * c0
     qs = jnp.sqrt(jnp.maximum(qd, 0.0))
-    quad_r = jnp.stack(
-        [(-c1 + qs) / (2.0 * qa), (-c1 - qs) / (2.0 * qa), jnp.zeros_like(qa)],
-        axis=-1,
+    quad_r = stk(
+        [(-c1 + qs) / (2.0 * qa), (-c1 - qs) / (2.0 * qa), jnp.zeros_like(qa)]
     )
-    quad_ok = jnp.stack(
-        [qd >= 0, qd >= 0, jnp.zeros_like(qd, dtype=bool)], axis=-1
-    )
+    quad_ok = stk([qd >= 0, qd >= 0, jnp.zeros_like(qd, dtype=bool)])
 
     # --- linear branch c1 x + c0
-    lin_r = jnp.stack(
-        [-c0 / jnp.where(jnp.abs(c1) > tiny, c1, 1.0)] * 3, axis=-1
-    )
-    lin_ok = jnp.stack(
-        [jnp.abs(c1) > tiny, jnp.zeros_like(c1, bool), jnp.zeros_like(c1, bool)],
-        axis=-1,
+    lin_r = stk([-c0 / jnp.where(jnp.abs(c1) > tiny, c1, 1.0)] * 3)
+    lin_ok = stk(
+        [jnp.abs(c1) > tiny, jnp.zeros_like(c1, bool), jnp.zeros_like(c1, bool)]
     )
 
     is_cubic = jnp.abs(c3) > tiny
     is_quad = ~is_cubic & (jnp.abs(c2) > tiny)
     roots = jnp.where(
-        is_cubic[..., None], cubic_r, jnp.where(is_quad[..., None], quad_r, lin_r)
+        ex(is_cubic), cubic_r, jnp.where(ex(is_quad), quad_r, lin_r)
     )
     ok = jnp.where(
-        is_cubic[..., None], cubic_ok, jnp.where(is_quad[..., None], quad_ok, lin_ok)
+        ex(is_cubic), cubic_ok, jnp.where(ex(is_quad), quad_ok, lin_ok)
     )
     return roots, ok
 
@@ -371,71 +380,135 @@ def solve_perspective_batch(
         + (1.0 - lam[:, :, None, None]) * f2[:, None]
     )  # (B, 3roots, 3, 3)
 
+    # --- validity, lane-major -------------------------------------------
+    # Everything below runs on (3roots, B) / (3roots, n, B) component
+    # arrays — candidates stay on the VPU's 128-lane minor axis. The
+    # former einsum/argmax/take_along_axis forms over (..., 3, 3)-minor
+    # tensors cost 13.0 ms of a 41 ms 50k round (hidden from the round-4
+    # stage table because cumulative-stage baselines let XLA dead-code-
+    # eliminate `valid`; tools/bench_ransac_scan_stages3.py probes); the
+    # closed-form component arithmetic here is ~1 ms. Per-element values
+    # are the same formulas in the same precision — only XLA's reduction
+    # /layout scheduling differs.
+    lam_t = lam.T  # (3roots, B)
+    om_t = 1.0 - lam_t
+    fk = [
+        lam_t * q7[:, k][None, :] + om_t * q8[:, k][None, :]
+        for k in range(9)
+    ]  # 9 x (3roots, B), bitwise the entries of f above
+
     # Rank-2 check on singular values (fundamentalmatrix.rs:365-371):
     # sigma_1 >= eps (rank >= 2) and sigma_2 <= eps (rank <= 2).
     # Closed form: a 3x3 symmetric spectrum is the characteristic cubic
-    # (a batched 150k 3x3 eigh cost ~540 ms on a v5e; this is ~1 ms).
-    ftf = jnp.einsum("brji,brjk->brik", f, f)
-    # Newton's identities from the power sums p_k = tr((F^T F)^k):
-    # e1 = p1, e2 = (p1^2 - p2)/2, e3 = det = (p1^3 - 3 p1 p2 + 2 p3)/6;
-    # the spectrum solves x^3 - e1 x^2 + e2 x - e3 = 0.
-    p1_ = jnp.einsum("brii->br", ftf)
-    p2_ = jnp.sum(ftf * ftf, axis=(-2, -1))
-    p3_ = jnp.einsum("brij,brjk,brki->br", ftf, ftf, ftf)
+    # (a batched 150k 3x3 eigh cost ~540 ms on a v5e). T = F^T F's six
+    # unique entries are 3-term dots of F's columns; the power sums
+    # p_k = tr(T^k) come from Newton's identities (p3 = tr(T^3) in the
+    # symmetric closed form), and the spectrum solves
+    # x^3 - p1 x^2 + e2 x - e3 = 0.
+    def tdot(j, k):
+        return fk[j] * fk[k] + fk[3 + j] * fk[3 + k] + fk[6 + j] * fk[6 + k]
+
+    t00, t11, t22 = tdot(0, 0), tdot(1, 1), tdot(2, 2)
+    t01, t02, t12 = tdot(0, 1), tdot(0, 2), tdot(1, 2)
+    p1_ = t00 + t11 + t22
+    p2_ = (
+        t00 * t00 + t11 * t11 + t22 * t22
+        + 2.0 * (t01 * t01 + t02 * t02 + t12 * t12)
+    )
+    p3_ = (
+        t00 ** 3 + t11 ** 3 + t22 ** 3
+        + 3.0 * (
+            t00 * (t01 * t01 + t02 * t02)
+            + t11 * (t01 * t01 + t12 * t12)
+            + t22 * (t02 * t02 + t12 * t12)
+        )
+        + 6.0 * t01 * t02 * t12
+    )
     e2_ = 0.5 * (p1_ * p1_ - p2_)
     e3_ = (p1_ ** 3 - 3.0 * p1_ * p2_ + 2.0 * p3_) / 6.0
     ev, ev_ok = cubic_roots(
-        jnp.ones_like(p1_), -p1_, e2_, -e3_
-    )  # (B, 3roots, 3) eigenvalues
+        jnp.ones_like(p1_), -p1_, e2_, -e3_, axis=0
+    )  # (3ev, 3roots, B)
     ev = jnp.where(ev_ok, jnp.maximum(ev, 0.0), 0.0)
-    ev_min = jnp.min(ev, axis=-1)
-    ev_max = jnp.max(ev, axis=-1)
-    ev_mid = jnp.sum(ev, axis=-1) - ev_min - ev_max
+    r0, r1, r2 = ev[0], ev[1], ev[2]
+    ev_min = jnp.minimum(jnp.minimum(r0, r1), r2)
+    ev_max = jnp.maximum(jnp.maximum(r0, r1), r2)
+    ev_mid = (r0 + r1 + r2) - ev_min - ev_max
     sv0 = jnp.sqrt(jnp.maximum(ev_min, 0.0))
     sv1 = jnp.sqrt(jnp.maximum(ev_mid, 0.0))
-    rank_ok = (sv1 >= rank_eps) & (sv0 <= rank_eps)
+    rank_ok_t = (sv1 >= rank_eps) & (sv0 <= rank_eps)  # (3roots, B)
 
     # Sign-consistency (fundamentalmatrix.rs:376-383): with e1 the null
     # vector of F^T (left epipole), all points must satisfy
     # sign((F x2)_i . ([e1]x x1)_i) consistent. For a rank-2 F the left
     # null vector is orthogonal to F's columns: the largest pairwise
     # cross product of the columns (closed form; the sign test is
-    # sign-invariant so the arbitrary orientation is fine).
-    cols = jnp.moveaxis(f, -1, -3)  # (B, 3roots, 3cols, 3)
-    c01 = jnp.cross(cols[..., 0, :], cols[..., 1, :])
-    c02 = jnp.cross(cols[..., 0, :], cols[..., 2, :])
-    c12 = jnp.cross(cols[..., 1, :], cols[..., 2, :])
-    crosses = jnp.stack([c01, c02, c12], axis=-2)  # (B, 3roots, 3, 3)
-    norms = jnp.sum(crosses * crosses, axis=-1)
-    pick = jnp.argmax(norms, axis=-1)
-    e1 = jnp.take_along_axis(
-        crosses, pick[..., None, None], axis=-2
-    )[..., 0, :]  # (B, 3roots, 3)
+    # sign-invariant so the arbitrary orientation is fine). The
+    # argmax/take_along_axis pick becomes a nested where with the same
+    # first-of-equal-maxima tie-break.
+    col = [(fk[j], fk[3 + j], fk[6 + j]) for j in range(3)]  # F's columns
 
-    def cross_mat(v):
-        zero = jnp.zeros_like(v[..., 0])
-        return jnp.stack(
-            [
-                jnp.stack([zero, -v[..., 2], v[..., 1]], axis=-1),
-                jnp.stack([v[..., 2], zero, -v[..., 0]], axis=-1),
-                jnp.stack([-v[..., 1], v[..., 0], zero], axis=-1),
-            ],
-            axis=-2,
+    def vcross(a, b):
+        return (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
         )
 
-    e1x = cross_mat(e1)  # (B, 3roots, 3, 3)
-    l1 = jnp.einsum("brij,bnj->brni", e1x, x1)  # lines through epipole
-    fx2 = jnp.einsum("brij,bnj->brni", f, x2)
-    s = jnp.sum(fx2 * l1, axis=-1)  # (B, 3roots, 7)
-    sign_ok = jnp.all(s > 0, axis=-1) | jnp.all(s < 0, axis=-1)
+    c01 = vcross(col[0], col[1])
+    c02 = vcross(col[0], col[2])
+    c12 = vcross(col[1], col[2])
 
-    # Normalize by the last element (fundamentalmatrix.rs:374).
+    def n2(v):
+        return v[0] * v[0] + v[1] * v[1] + v[2] * v[2]
+
+    n01, n02, n12 = n2(c01), n2(c02), n2(c12)
+    use01 = (n01 >= n02) & (n01 >= n12)
+    use02 = ~use01 & (n02 >= n12)
+    e1 = tuple(
+        jnp.where(use01, c01[i], jnp.where(use02, c02[i], c12[i]))
+        for i in range(3)
+    )  # epipole components, (3roots, B)
+
+    # s_n = (F x2h_n) . (e1 x x1h_n) over the 7 sampled points, as
+    # (3roots, n, B) broadcasts; s1/s2 are the solver's (normalized)
+    # input coordinates — the same x1/x2 the einsum form used.
+    n1x = s1[:, :, 0].T[None]  # (1, n, B)
+    n1y = s1[:, :, 1].T[None]
+    n2x = s2[:, :, 0].T[None]
+    n2y = s2[:, :, 1].T[None]
+
+    def r3(v):  # (3roots, B) -> (3roots, 1, B)
+        return v[:, None, :]
+
+    fx2_0 = r3(fk[0]) * n2x + r3(fk[1]) * n2y + r3(fk[2])
+    fx2_1 = r3(fk[3]) * n2x + r3(fk[4]) * n2y + r3(fk[5])
+    fx2_2 = r3(fk[6]) * n2x + r3(fk[7]) * n2y + r3(fk[8])
+    # l1 = e1 x x1h with x1h = (n1x, n1y, 1)
+    l1_0 = r3(e1[1]) - r3(e1[2]) * n1y
+    l1_1 = r3(e1[2]) * n1x - r3(e1[0])
+    l1_2 = r3(e1[0]) * n1y - r3(e1[1]) * n1x
+    s = fx2_0 * l1_0 + fx2_1 * l1_1 + fx2_2 * l1_2  # (3roots, n, B)
+    sign_ok_t = jnp.all(s > 0, axis=1) | jnp.all(s < 0, axis=1)
+
+    # Normalize by the last element (fundamentalmatrix.rs:374); fk[8]
+    # is bitwise f[..., 2, 2].
+    denom_t = fk[8]
+    denom_ok_t = jnp.abs(denom_t) > 1e-12
+    den_safe = jnp.where(denom_ok_t, denom_t, 1.0)
+    fin_t = jnp.ones_like(denom_ok_t)
+    for k in range(9):
+        fin_t &= jnp.isfinite(fk[k] / den_safe)
+
     denom = f[..., 2, 2]
     denom_ok = jnp.abs(denom) > 1e-12
     f = f / jnp.where(denom_ok, denom, 1.0)[..., None, None]
 
-    valid = lam_ok & rank_ok & sign_ok & denom_ok & jnp.isfinite(lam)
-    valid &= jnp.all(jnp.isfinite(f), axis=(-2, -1))
+    valid = (
+        lam_ok
+        & jnp.isfinite(lam)
+        & (rank_ok_t & sign_ok_t & denom_ok_t & fin_t).T
+    )
     return f, valid
 
 
@@ -443,13 +516,21 @@ def solve_perspective_batch(
 # Batched RANSAC sweep
 
 
+# True while tracing the vmapped multi-pair driver (ransac_batch_pairs):
+# jax.vmap of a pallas_call adds a grid dimension, and the axon remote
+# TPU compiler rejects gridded pallas_call (ops.pallas_ncc docstring) —
+# the vmapped driver must keep the XLA forms.
+_IN_VMAP_DRIVER = False
+
+
 def _use_pallas_score() -> bool:
-    """Pallas scoring runs only on real TPU (the CPU backend keeps the
-    chunked XLA form — same convention as ops.correlation's
-    CVTPU_NO_PALLAS gate)."""
+    """Pallas scoring/gather kernels run only on real TPU and outside
+    the vmapped pair driver (the CPU backend keeps the chunked XLA
+    forms — same convention as ops.correlation's CVTPU_NO_PALLAS
+    gate)."""
     import os
 
-    if os.environ.get("CVTPU_NO_PALLAS"):
+    if _IN_VMAP_DRIVER or os.environ.get("CVTPU_NO_PALLAS"):
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -562,8 +643,12 @@ def _ransac_batch_core(
     # coordinate values (ints < 2^15), so the sampled points — and the
     # round's winner — are BITWISE identical to the float-table path
     # (tests/test_epipolar.py::test_packed_table_matches_float).
+    # dtype pinned: the package enables jax_enable_x64 (host f64 LM/BA),
+    # under which randint defaults to int64 — 64-bit draws AND a 64-bit
+    # index gather, both emulated on TPU (measured: the draw alone at
+    # 8.0 ms/round vs 1.5 ms in int32).
     all_idx = jax.random.randint(
-        key, (13, n_samples, batch), 0, top_limit
+        key, (13, n_samples, batch), 0, top_limit, dtype=jnp.int32
     )  # (13, n, B)
     tril = jnp.tril(jnp.ones((n_samples, n_samples), bool), k=-1)
 
@@ -575,7 +660,15 @@ def _ransac_batch_core(
             return all_coords[:, i]
 
     else:
-        all_packed = jnp.take(packed_t, all_idx, axis=1)  # (2, 13, n, B)
+        if _use_pallas_score() and packed_t.shape[1] <= 8192:
+            # VMEM-resident segmented gather: XLA's gather is index-
+            # rate-bound (~0.42 G idx/s -> ~10 ms/round); this is ~1 ms
+            # for the SFM buckets (ops.pallas_gather docstring).
+            from cybervision_tpu.ops.pallas_gather import gather_packed
+
+            all_packed = gather_packed(packed_t, all_idx)
+        else:
+            all_packed = jnp.take(packed_t, all_idx, axis=1)  # (2,13,n,B)
 
         def round_coords(i):
             pk = all_packed[:, i]  # (2, n, B) int32
@@ -815,6 +908,22 @@ def ransac_batch_pairs(
         rank_eps=rank_eps,
         top_k=top_k,
     )
+    global _IN_VMAP_DRIVER
+    _IN_VMAP_DRIVER = True
+    try:
+        return _ransac_batch_pairs_body(
+            key, p1, p2, m_valid, top_limit, threshold,
+            min_inlier_distance, min_count, kwargs, packed_t,
+            projection_affine, t1, t2,
+        )
+    finally:
+        _IN_VMAP_DRIVER = False
+
+
+def _ransac_batch_pairs_body(
+    key, p1, p2, m_valid, top_limit, threshold, min_inlier_distance,
+    min_count, kwargs, packed_t, projection_affine, t1, t2,
+):
     pk_axis = None if packed_t is None else 0
     if projection_affine:
         return jax.vmap(

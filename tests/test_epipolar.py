@@ -481,3 +481,15 @@ def test_multi_pair_mixed_buckets_matches_sequential(rng):
         np.testing.assert_array_equal(r.f, s.f)
         np.testing.assert_array_equal(r.inliers, s.inliers)
         assert r.matches_count == s.matches_count
+
+
+def test_pallas_gather_matches_take(rng):
+    """Interpret-mode segmented gather vs jnp.take: exact equality."""
+    from cybervision_tpu.ops import pallas_gather
+
+    m = 2048
+    tbl = jnp.asarray(rng.randint(0, 2**30, (2, m)), jnp.int32)
+    idx = jnp.asarray(rng.randint(0, m, (3, 5, 97)), jnp.int32)
+    got = pallas_gather.gather_packed(tbl, idx, interpret=True)
+    ref = jnp.take(tbl, idx, axis=1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
