@@ -64,10 +64,13 @@ class OrbConfig:
     patch_width: int = 31  # ORB_PATCH_WIDTH (orientation centroid)
     max_keypoints: int = 10_000
     descriptor_bits: int = 256
-    # The BRIEF sampling pattern is generated from a fixed-seed isotropic
-    # Gaussian over the 31x31 patch (original BRIEF/ORB construction); the
-    # reference embeds OpenCV's learned bit_pattern_31_ table instead
-    # (orb.rs:474-732) but any fixed pattern shared by both images works.
+    # BRIEF sampling pattern: "opencv" = the learned bit_pattern_31_
+    # table the reference embeds (orb.rs:474-732; public OpenCV
+    # constants), "gaussian" = fixed-seed isotropic Gaussian over the
+    # 31x31 patch (original BRIEF construction). Both work (any fixed
+    # pattern shared by both images does); the A/B in docs/PERF.md
+    # round-5 picks the default (VERDICT r4 next #6).
+    pattern: str = "gaussian"
     pattern_seed: int = 0x9E3779B9
 
 

@@ -434,8 +434,24 @@ def solve_perspective_batch(
     ev_min = jnp.minimum(jnp.minimum(r0, r1), r2)
     ev_max = jnp.maximum(jnp.maximum(r0, r1), r2)
     ev_mid = (r0 + r1 + r2) - ev_min - ev_max
-    sv0 = jnp.sqrt(jnp.maximum(ev_min, 0.0))
+    sv_max = jnp.sqrt(jnp.maximum(ev_max, 0.0))
     sv1 = jnp.sqrt(jnp.maximum(ev_mid, 0.0))
+    # sigma_0 via |det F| / (sigma_max * sigma_1), NOT the cubic's
+    # smallest root: the characteristic constant e3 = (p1^3 - 3 p1 p2 +
+    # 2 p3)/6 cancels catastrophically in f32 (p1^3 ~ 1e14 against a
+    # true e3 ~ 1e5 at typical normalized conditioning), so the small
+    # root is rounding noise and the rank<=2 gate fired on that noise —
+    # in BOTH directions (real rank-2 candidates rejected, rank-3
+    # candidates accepted; latent pre-round-5, surfaced by
+    # tests/test_cross_oracle.py). det(F) is a direct 3x3 cofactor
+    # expansion with no large-power cancellation, and the two large
+    # singular values from the cubic are well-conditioned.
+    det_f = (
+        fk[0] * (fk[4] * fk[8] - fk[5] * fk[7])
+        - fk[1] * (fk[3] * fk[8] - fk[5] * fk[6])
+        + fk[2] * (fk[3] * fk[7] - fk[4] * fk[6])
+    )
+    sv0 = jnp.abs(det_f) / jnp.maximum(sv_max * sv1, 1e-30)
     rank_ok_t = (sv1 >= rank_eps) & (sv0 <= rank_eps)  # (3roots, B)
 
     # Sign-consistency (fundamentalmatrix.rs:376-383): with e1 the null

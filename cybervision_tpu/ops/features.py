@@ -62,8 +62,19 @@ def gaussian_kernel(width: int) -> np.ndarray:
 
 
 def brief_pattern(cfg: OrbConfig) -> np.ndarray:
-    """(256, 2, 2) int32 point-pair offsets in [-15, 15], seeded Gaussian
-    with sigma = patch/5 (BRIEF construction; see module docstring)."""
+    """(256, 2, 2) int32 point-pair offsets in [-15, 15].
+
+    cfg.pattern selects the source: "opencv" (default) is OpenCV's
+    learned bit_pattern_31_ — the table the reference embeds
+    (orb.rs:474-732), learned to minimize inter-bit correlation;
+    "gaussian" is the original BRIEF-style seeded isotropic Gaussian
+    with sigma = patch/5. A/B on the bench scenes (docs/PERF.md round-5,
+    VERDICT r4 next #6) made the learned table the default.
+    """
+    if cfg.pattern == "opencv":
+        from cybervision_tpu.ops.brief_pattern_opencv import BIT_PATTERN_31
+
+        return BIT_PATTERN_31.reshape(256, 2, 2).astype(np.int32)
     rs = np.random.RandomState(cfg.pattern_seed & 0x7FFFFFFF)
     half = cfg.patch_width // 2
     sigma = cfg.patch_width / 5.0

@@ -255,6 +255,68 @@ def _sweep_kernel(
         off0_full = jnp.floor(s_coe[:] * s_cen[:] + s_add[:])
         cen_full = s_cen[:]
 
+        f_rows = s_cen.shape[0]
+        f_cols = s_cen.shape[1]
+        w_rows = s_w0.shape[1]
+        w_cols = s_w0.shape[2]
+        b_rows = s_sw.shape[0]
+        b_cols = s_sw.shape[1]
+
+        def finish_hyp(u, qx, qy, cen_u, warp, s_w_, s_ww, extra_ok):
+            """Shared per-hypothesis tail: NCC from the shifted windows,
+            validity masks, and the strictly-greater best carry."""
+            inb = (
+                (qx >= f32(KS))
+                & (qx < f32(w2 - KS))
+                & (qy >= f32(KS))
+                & (qy < f32(h2 - KS))
+            )
+            cross = _box11(img_slab * warp, tile_h, w)
+            inv_kpc = f32(1.0 / KPC)
+            avg_w = s_w_ * inv_kpc
+            var_w = jnp.maximum(s_ww * inv_kpc - avg_w * avg_w, f32(0.0))
+            sd_w = jnp.sqrt(var_w)
+            corr = (
+                (cross * inv_kpc - avg1 * avg_w)
+                * isd1
+                / jnp.maximum(sd_w, f32(1e-12))
+            )
+
+            # where() on i1 vectors hits an unsupported truncation
+            # in Mosaic; select float masks instead.
+            # Bounds are [KS, dim-KS): warp box stats at shifted
+            # index p+u are exact only where the 11x11 box stays
+            # inside the warp plane (matches refine_pass's src_ok).
+            if axis == "vert":
+                src_ok = (row_ids + u >= KS) & (row_ids + u < h - KS)
+            elif axis == "horiz":
+                src_ok = (col_ids + u >= KS) & (col_ids + u < w - KS)
+            else:
+                maskr = (
+                    (row_ids + u >= KS) & (row_ids + u < h - KS)
+                ).astype(f32)
+                maskc = (
+                    (col_ids + u >= KS) & (col_ids + u < w - KS)
+                ).astype(f32)
+                src_ok = jnp.where(vert_c, maskr, maskc) > f32(0.5)
+            ok = (
+                src_ok
+                & inb
+                & (cen_u >= start)
+                & (cen_u < end)
+                & pok
+                & (sd_w >= f32(min_stdev))
+                & (corr >= f32(threshold))
+            )
+            if extra_ok is not None:
+                ok &= extra_ok
+            corr = jnp.where(ok, corr, -jnp.inf)
+            prev_c = o_corr[0:tile_h, 0:w]
+            upd = corr > prev_c
+            o_corr[0:tile_h, 0:w] = jnp.where(upd, corr, prev_c)
+            o_x[0:tile_h, 0:w] = jnp.where(upd, qx, o_x[0:tile_h, 0:w])
+            o_y[0:tile_h, 0:w] = jnp.where(upd, qy, o_y[0:tile_h, 0:w])
+
         for oi in range(n_o):
             o_val = f32(oi - corridor_size)
 
@@ -273,6 +335,69 @@ def _sweep_kernel(
                 w0_full * w0_full, sw_rows, sw_cols
             )
 
+            if axis is not None:
+                # Incremental constant-shift rolls (docs/PERF.md round-5
+                # roofline): u advances by 1 per iteration, so the five
+                # rolled windows ride the loop carry and advance with a
+                # STATIC shift-by-1 instead of being re-rolled from base
+                # with a per-u dynamic shift — the dynamic rotates were
+                # the dominant issue cost of the u-loop. The fixed-axis
+                # shift component applies once here; the carry starts at
+                # u = -wd, where the varying shift is the identity.
+                # Bitwise-exact: rolls are permutations, and k unit
+                # rolls compose to one k-roll.
+                var_ax = 0 if axis == "vert" else 1
+
+                def pre_roll(x, rows, cols):
+                    # jnp.int32 shifts: a python-int shift reaches
+                    # tpu.dynamic_rotate as i64 under jax_enable_x64.
+                    if axis == "vert":
+                        return pltpu.roll(x, jnp.int32(cols - wd), 1)
+                    return pltpu.roll(x, jnp.int32(rows - wd), 0)
+
+                def rot1(x):
+                    return pltpu.roll(
+                        x, jnp.int32(x.shape[var_ax] - 1), var_ax
+                    )
+
+                def u_body_inc(c, o_val=o_val):
+                    ui, cen_s, off_s, warp_s, sw_s, sww_s = c
+                    u = ui - jnp.int32(wd)
+                    cen_u = jax.lax.slice(cen_s, (0, 0), (tile_h, w))
+                    off = jax.lax.slice(off_s, (0, 0), (tile_h, w)) + o_val
+                    if axis == "vert":
+                        qx, qy = off, cen_u
+                    else:
+                        qx, qy = cen_u, off
+                    warp = jax.lax.slice(
+                        warp_s, (0, 0), (tile_h + 2 * KS, w + 2 * KS)
+                    )
+                    s_w_ = jax.lax.slice(sw_s, (0, 0), (tile_h, w))
+                    s_ww = jax.lax.slice(sww_s, (0, 0), (tile_h, w))
+                    finish_hyp(u, qx, qy, cen_u, warp, s_w_, s_ww, None)
+                    return (
+                        ui + jnp.int32(1),
+                        rot1(cen_s),
+                        rot1(off_s),
+                        rot1(warp_s),
+                        rot1(sw_s),
+                        rot1(sww_s),
+                    )
+
+                jax.lax.while_loop(
+                    lambda c: c[0] < jnp.int32(2 * wd + 1),
+                    u_body_inc,
+                    (
+                        jnp.int32(0),
+                        pre_roll(cen_full, f_rows, f_cols),
+                        pre_roll(off0_full, f_rows, f_cols),
+                        pre_roll(w0_full, w_rows, w_cols),
+                        pre_roll(s_sw[:], b_rows, b_cols),
+                        pre_roll(s_sww[:], b_rows, b_cols),
+                    ),
+                )
+                continue
+
             def u_body(c, oi=oi, o_val=o_val):
                 ui, utok = c
                 u = ui - jnp.int32(wd)
@@ -286,116 +411,39 @@ def _sweep_kernel(
                     x = pltpu.roll(x, cols - cu, 1)
                     return jax.lax.slice(x, (0, 0), (span_r, span_c))
 
-                f_rows = s_cen.shape[0]
-                f_cols = s_cen.shape[1]
                 wdu = jnp.int32(wd) + u
                 wds = jnp.int32(wd)
 
                 def fshift(buf, rows, cols):
-                    if axis == "vert":
-                        return rolled(buf, rows, cols, wdu, wds, tile_h, w)
-                    if axis == "horiz":
-                        return rolled(buf, rows, cols, wds, wdu, tile_h, w)
                     r = rolled(buf, rows, cols, wdu, wds, tile_h, w)
                     cc = rolled(buf, rows, cols, wds, wdu, tile_h, w)
                     return jnp.where(vert_c, r, cc)
 
                 cen_u = fshift(cen_full, f_rows, f_cols)
                 off = fshift(off0_full, f_rows, f_cols) + o_val
-                if axis == "vert":
-                    qx, qy = off, cen_u
-                elif axis == "horiz":
-                    qx, qy = cen_u, off
-                else:
-                    qx = jnp.where(vert_c, off, cen_u)
-                    qy = jnp.where(vert_c, cen_u, off)
-                inb = (
-                    (qx >= f32(KS))
-                    & (qx < f32(w2 - KS))
-                    & (qy >= f32(KS))
-                    & (qy < f32(h2 - KS))
-                )
+                qx = jnp.where(vert_c, off, cen_u)
+                qy = jnp.where(vert_c, cen_u, off)
 
                 w0_buf = s_w0[oi]
-                w_rows = s_w0.shape[1]
-                w_cols = s_w0.shape[2]
-                if axis == "vert":
-                    warp = rolled(
-                        w0_buf, w_rows, w_cols, wdu, wds,
-                        tile_h + 2 * KS, w + 2 * KS,
-                    )
-                elif axis == "horiz":
-                    warp = rolled(
-                        w0_buf, w_rows, w_cols, wds, wdu,
-                        tile_h + 2 * KS, w + 2 * KS,
-                    )
-                else:
-                    wr = rolled(
-                        w0_buf, w_rows, w_cols, wdu, wds,
-                        tile_h + 2 * KS, w + 2 * KS,
-                    )
-                    wc = rolled(
-                        w0_buf, w_rows, w_cols, wds, wdu,
-                        tile_h + 2 * KS, w + 2 * KS,
-                    )
-                    warp = jnp.where(vert_slab, wr, wc)
+                wr = rolled(
+                    w0_buf, w_rows, w_cols, wdu, wds,
+                    tile_h + 2 * KS, w + 2 * KS,
+                )
+                wc = rolled(
+                    w0_buf, w_rows, w_cols, wds, wdu,
+                    tile_h + 2 * KS, w + 2 * KS,
+                )
+                warp = jnp.where(vert_slab, wr, wc)
 
-                cross = _box11(img_slab * warp, tile_h, w)
-                b_rows = s_sw.shape[0]
-                b_cols = s_sw.shape[1]
                 s_w_ = fshift(s_sw[:], b_rows, b_cols)
                 s_ww = fshift(s_sww[:], b_rows, b_cols)
-                inv_kpc = f32(1.0 / KPC)
-                avg_w = s_w_ * inv_kpc
-                var_w = jnp.maximum(
-                    s_ww * inv_kpc - avg_w * avg_w, f32(0.0)
-                )
-                sd_w = jnp.sqrt(var_w)
-                corr = (
-                    (cross * inv_kpc - avg1 * avg_w)
-                    * isd1
-                    / jnp.maximum(sd_w, f32(1e-12))
-                )
-
-                # where() on i1 vectors hits an unsupported truncation
-                # in Mosaic; select float masks instead.
-                # Bounds are [KS, dim-KS): warp box stats at shifted
-                # index p+u are exact only where the 11x11 box stays
-                # inside the warp plane (matches refine_pass's src_ok).
-                if axis == "vert":
-                    src_ok = (row_ids + u >= KS) & (row_ids + u < h - KS)
-                elif axis == "horiz":
-                    src_ok = (col_ids + u >= KS) & (col_ids + u < w - KS)
-                else:
-                    maskr = (
-                        (row_ids + u >= KS) & (row_ids + u < h - KS)
-                    ).astype(f32)
-                    maskc = (
-                        (col_ids + u >= KS) & (col_ids + u < w - KS)
-                    ).astype(f32)
-                    src_ok = jnp.where(vert_c, maskr, maskc) > f32(0.5)
-                ok = (
-                    src_ok
-                    & inb
-                    & (cen_u >= start)
-                    & (cen_u < end)
-                    & pok
-                    & (sd_w >= f32(min_stdev))
-                    & (corr >= f32(threshold))
-                )
-                if axis is None:
-                    # Reject hypotheses sourced from pixels whose
-                    # dominant axis differs from p's — their candidate
-                    # lies on the wrong epipolar line (matches
-                    # refine_pass's vert-plane gate).
-                    vu_f = fshift(vert_full, f_rows, f_cols)
-                    ok &= jnp.abs(vu_f - vert_cf) < f32(0.5)
-                corr = jnp.where(ok, corr, -jnp.inf)
-                prev_c = o_corr[0:tile_h, 0:w]
-                upd = corr > prev_c
-                o_corr[0:tile_h, 0:w] = jnp.where(upd, corr, prev_c)
-                o_x[0:tile_h, 0:w] = jnp.where(upd, qx, o_x[0:tile_h, 0:w])
-                o_y[0:tile_h, 0:w] = jnp.where(upd, qy, o_y[0:tile_h, 0:w])
+                # Reject hypotheses sourced from pixels whose
+                # dominant axis differs from p's — their candidate
+                # lies on the wrong epipolar line (matches
+                # refine_pass's vert-plane gate).
+                vu_f = fshift(vert_full, f_rows, f_cols)
+                extra_ok = jnp.abs(vu_f - vert_cf) < f32(0.5)
+                finish_hyp(u, qx, qy, cen_u, warp, s_w_, s_ww, extra_ok)
                 return (ui + jnp.int32(1), utok)
 
             jax.lax.while_loop(

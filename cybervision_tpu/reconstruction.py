@@ -279,18 +279,31 @@ class Reconstruction:
             # rare >7-bit deltas, falling back to the exact word plane
             # that rode along on device (VERDICT r4 next #3).
             d16_dev, word_dev = correlated
+            from cybervision_tpu.config import MeshMode
+
+            # The vertex-color plane is pure host work (PIL decode +
+            # channel packing) — run it on a thread UNDER the delta
+            # plane's device wait + tunnel transfer instead of after it
+            # (VERDICT r4 next #3: overlap the fetch with the write
+            # pipeline's host-side inputs).
+            rgb_thread = None
+            rgb_box: list = [None]
+            if self.cfg.mesh == MeshMode.VERTEX_COLORS:
+                import threading
+
+                def _prep_rgb():
+                    rgb_box[0] = self._take_rgb([0])[0]
+
+                rgb_thread = threading.Thread(target=_prep_rgb)
+                rgb_thread.start()
             with PhaseTimer("Fetched correlation grid", True):
                 d16_dev.copy_to_host_async()
                 d16 = np.asarray(d16_dev)
                 if d16[0, 0] & 0x8000:
                     word = np.asarray(word_dev)
-            from cybervision_tpu.config import MeshMode
-
-            rgb = (
-                self._take_rgb([0])[0]
-                if self.cfg.mesh == MeshMode.VERTEX_COLORS
-                else None
-            )
+            if rgb_thread is not None:
+                rgb_thread.join()
+            rgb = rgb_box[0]
             if (d16 & 0x4000).any() and (
                 rgb is None or rgb.shape[:2] == d16.shape
             ):

@@ -102,16 +102,26 @@ def test_seven_point_solver_matches_opencv(rng):
         f_px = np.einsum(
             "ji,rjk,kl->ril", t2, np.asarray(f_n[0], np.float64), t1
         )
+        # Two candidate sets: `ours` = the production survivors of the
+        # reference's rank/sign gates (fundamentalmatrix.rs:365-371,
+        # eps 1e-3) — OpenCV applies no such gates; `ours_all` = every
+        # finite root the SOLVER produced, gates aside. The OpenCV
+        # comparison uses ours_all: a root whose f32 det-constraint
+        # lambda came out slightly off yields a near-rank-3 F that the
+        # gate CORRECTLY rejects (sigma_0 > eps) while OpenCV's f64
+        # lambda gives the exact rank-2 version — a legitimately lost
+        # hypothesis, not a solver disagreement.
+        ours_all = [
+            f_px[i] / np.linalg.norm(f_px[i])
+            for i in range(3)
+            if np.isfinite(f_px[i]).all() and np.linalg.norm(f_px[i]) > 0
+        ]
         ours = [
             f_px[i] / np.linalg.norm(f_px[i])
             for i in range(3)
             if np.asarray(valid[0])[i]
         ]
-        if not ours:
-            # Our solver applies the reference's rank/sign-consistency
-            # gates (fundamentalmatrix.rs:365-371, eps 1e-3) that OpenCV
-            # doesn't; a gated-out sample is a lost hypothesis, not a
-            # wrong one — RANSAC draws another.
+        if not ours_all:
             continue
         # Every candidate interpolates its 7 defining points (absolute
         # property, independent of OpenCV).
@@ -129,7 +139,7 @@ def test_seven_point_solver_matches_opencv(rng):
             fc = fc / np.linalg.norm(fc)
             best = min(
                 min(np.abs(fo - fc).max(), np.abs(fo + fc).max())
-                for fo in ours
+                for fo in ours_all
             )
             assert best < 1e-2, (trial, best)
             found_any += 1
