@@ -84,6 +84,18 @@ class Reconstruction:
             )
         return self._orb_cache[i]
 
+    def _orb_packed_pair(self, i: int, j: int):
+        """Per-image extraction calls, deliberately NOT batched into one
+        multi-image program: measured on TPU (2026-08-22, best-of-10),
+        one batch-2 call at 1024^2 is ~25 ms SLOWER than two per-image
+        calls (0.34 vs 0.31 s incl. matching), and one batch-5 call at
+        320x256 loses 0.263 vs 0.236 s — host dispatch is only ~30 ms
+        (the async chains already pipeline) while the batched device
+        programs themselves run slower. Single-image calls also keep the
+        per-image cache reusable across pairs. Batched-vs-single parity
+        is pinned by tests/test_features.py either way."""
+        return self._orb_packed(i), self._orb_packed(j)
+
     def match_pair(self, i: int, j: int) -> np.ndarray:
         """Multi-scale ORB + matching (reconstruction.rs:400-500).
 
@@ -98,8 +110,7 @@ class Reconstruction:
         threshold = self.cfg.matching.threshold(self.cfg.projection)
         if pipeline_mesh() is None:
             with PhaseTimer("Extracted feature points", self.quiet):
-                packed1 = self._orb_packed(i)
-                packed2 = self._orb_packed(j)
+                packed1, packed2 = self._orb_packed_pair(i, j)
                 matches, n1, n2 = matching.match_keypoints_packed(
                     packed1, packed2, threshold
                 )

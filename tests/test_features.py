@@ -176,3 +176,20 @@ def test_brief_gather_matches_matmul(rng):
     )
     np.testing.assert_array_equal(np.asarray(d_mm), np.asarray(d_g))
     np.testing.assert_array_equal(np.asarray(v_mm), np.asarray(v_g))
+
+
+def test_pair_batched_extraction_matches_per_image():
+    """One batched extract_keypoints_pyramid_packed([a, b]) call (the
+    stereopair fast path in Reconstruction._orb_packed_pair) is
+    bit-identical per image to two single-image calls: detection and
+    description are elementwise/per-image batched ops, and the describe
+    bucket is sized by the same density bound either way."""
+    from bench import synth_sem_pair
+
+    cfg = OrbConfig()
+    img1, img2 = synth_sem_pair(160, 192, seed=7)
+    both = features.extract_keypoints_pyramid_packed([img1, img2], cfg)
+    (one,) = features.extract_keypoints_pyramid_packed([img1], cfg)
+    (two,) = features.extract_keypoints_pyramid_packed([img2], cfg)
+    np.testing.assert_array_equal(np.asarray(both[0]), np.asarray(one))
+    np.testing.assert_array_equal(np.asarray(both[1]), np.asarray(two))
